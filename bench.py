@@ -1,0 +1,125 @@
+"""Benchmark: train throughput (SMILES/sec/chip) vs the PyTorch-CPU twin.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric definition (BASELINE.json:2,5): SMILES/sec/chip on the training step
+of the reference ChemVAE architecture (Conv[9,9,10] -> latent-292 ->
+3xGRU-501, T=120, teacher-forced, KL-annealed ELBO). The baseline denominator
+is the PyTorch twin (bench/torch_twin) on CPU - the reference publishes no
+numbers (BASELINE.md), so it is measured here, fresh, every run.
+
+Target: vs_baseline >= 10 (BASELINE.json:5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def measure_torch_cpu(codes: np.ndarray, charset_size: int, batch: int = 64, steps: int = 3) -> float:
+    """Reference twin: fp32 CPU, Adam, teacher-forced CE ELBO."""
+    import torch
+
+    from bench.torch_twin.model import MolecularVAETwin, vae_loss_twin
+
+    torch.manual_seed(0)
+    torch.set_num_threads(max(1, (torch.get_num_threads())))
+    model = MolecularVAETwin(charset_size=charset_size)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    onehot_all = np.eye(charset_size, dtype=np.float32)[codes]
+
+    def one_step(i):
+        lo = (i * batch) % (codes.shape[0] - batch)
+        x = torch.from_numpy(onehot_all[lo : lo + batch])
+        y = torch.from_numpy(codes[lo : lo + batch].astype(np.int64))
+        logits, mu, logvar, _, _ = model(x)
+        loss, _, _ = vae_loss_twin(model, logits, y, mu, logvar, beta=1.0)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    one_step(0)  # warmup
+    t0 = time.perf_counter()
+    for i in range(1, steps + 1):
+        one_step(i)
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
+def measure_molvax(codes: np.ndarray, charset_size: int, batch: int = 256, steps: int = 20) -> float:
+    """molvax jitted train step on the default backend (TPU when attached)."""
+    import jax
+
+    from molvax.config import zinc250k
+    from molvax.parallel import make_mesh, replicate, shard_batch
+    from molvax.train import init_state, make_train_step
+
+    cfg = zinc250k()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, charset_size=charset_size),
+        train=dataclasses.replace(cfg.train, batch_size=batch),
+    )
+    mesh = make_mesh(devices=jax.devices()[:1])
+    state = replicate(mesh, init_state(cfg))
+    step = make_train_step(cfg)
+
+    n = codes.shape[0]
+    batches = [
+        shard_batch(mesh, codes[(i * batch) % (n - batch) : (i * batch) % (n - batch) + batch])
+        for i in range(steps)
+    ]
+    # warmup: compile + two hot runs, fully drained to host
+    state, m = step(state, batches[0], None)
+    float(np.asarray(m["loss"]))
+    state, m = step(state, batches[1], None)
+    float(np.asarray(m["loss"]))
+
+    # The axon PJRT tunnel resolves readiness events optimistically on the
+    # first dispatch burst, so a single block_until_ready under-measures.
+    # Methodology: several rounds, each ending with a host FETCH of the final
+    # loss inside the timed region (forces the full chain to drain); report
+    # the median of the post-first rounds.
+    rates = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, m = step(state, batches[i], None)
+        float(np.asarray(m["loss"]))
+        dt = time.perf_counter() - t0
+        rates.append(batch * steps / dt)
+    return float(np.median(rates[1:]))
+
+
+def main():
+    from molvax.data import DEFAULT_CHARSET, synthetic_dataset
+
+    charset_size = DEFAULT_CHARSET.size
+    ds = synthetic_dataset(4096, max_len=120, seed=0)
+    codes = ds.codes
+
+    torch_sps = measure_torch_cpu(codes, charset_size)
+    print(f"torch-cpu baseline: {torch_sps:.1f} SMILES/sec", file=sys.stderr)
+
+    molvax_sps = measure_molvax(codes, charset_size)
+    print(f"molvax: {molvax_sps:.1f} SMILES/sec/chip", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_smiles_per_sec_per_chip",
+                "value": round(molvax_sps, 1),
+                "unit": "SMILES/sec/chip",
+                "vs_baseline": round(molvax_sps / torch_sps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""CLI: `molvax <command> --preset <name> [--override k=v ...]`.
+
+Reference parity (SURVEY.md 2.13, 5.6): the reference configures via
+argparse flags on a train script. Here: named presets (the five driver
+configs, BASELINE.json:6-12) + dotted-path overrides, with subcommands for
+the reference's script-level workflows (train / sample / interpolate /
+reconstruct).
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import sys
+from typing import Dict
+
+from .config import Config, PRESETS, apply_overrides, get_preset
+
+
+def _parse_overrides(pairs) -> Dict:
+    out = {}
+    for p in pairs or []:
+        if "=" not in p:
+            raise SystemExit(f"--override expects key=value, got {p!r}")
+        k, v = p.split("=", 1)
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v  # bare string
+    return out
+
+
+def _load_cfg(args) -> Config:
+    cfg = get_preset(args.preset)
+    return apply_overrides(cfg, _parse_overrides(args.override))
+
+
+def cmd_train(args) -> int:
+    from .train import train
+
+    cfg = _load_cfg(args)
+    state, history = train(
+        cfg,
+        metrics_path=args.metrics,
+        max_steps=args.steps,
+        verbose=not args.quiet,
+    )
+    if history:
+        last = history[-1]
+        print(
+            f"done: step {last['step']} loss {last['loss']:.3f} "
+            f"acc {last.get('acc', float('nan')):.3f}"
+        )
+    return 0
+
+
+def _restore(cfg: Config, ckpt_dir: str):
+    import jax
+
+    from .io import checkpoint as ckpt_io
+    from .train import init_state
+
+    manager = ckpt_io.make_manager(ckpt_dir)
+    state = ckpt_io.restore_latest(manager, init_state(cfg))
+    if state is None:
+        raise SystemExit(f"no checkpoint found in {ckpt_dir}")
+    return state
+
+
+def cmd_sample(args) -> int:
+    import jax
+
+    from .data import valid_fraction
+    from .latent import sample_prior
+
+    cfg = _load_cfg(args)
+    state = _restore(cfg, args.ckpt)
+    smiles = sample_prior(
+        state.params,
+        cfg.model,
+        args.n,
+        jax.random.key(args.seed),
+        greedy=not args.stochastic,
+        temperature=args.temperature,
+    )
+    for s in smiles:
+        print(s)
+    print(f"# grammar-valid: {valid_fraction(smiles):.2%}", file=sys.stderr)
+    return 0
+
+
+def cmd_interpolate(args) -> int:
+    from .latent import interpolate
+
+    cfg = _load_cfg(args)
+    state = _restore(cfg, args.ckpt)
+    for s in interpolate(
+        state.params, cfg.model, args.start, args.end, steps=args.n
+    ):
+        print(s)
+    return 0
+
+
+def cmd_reconstruct(args) -> int:
+    import jax
+
+    from .latent import reconstruct
+
+    cfg = _load_cfg(args)
+    state = _restore(cfg, args.ckpt)
+    out = reconstruct(state.params, cfg.model, args.smiles, jax.random.key(args.seed))
+    for inp, rec in zip(args.smiles, out):
+        print(f"{inp}\t{rec}")
+    return 0
+
+
+def cmd_presets(args) -> int:
+    for name, fn in PRESETS.items():
+        print(f"{name}: {fn.__doc__.strip().splitlines()[0]}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="molvax", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--preset", default="chemvae_5k", choices=sorted(PRESETS))
+        sp.add_argument(
+            "--override",
+            action="append",
+            metavar="KEY=VALUE",
+            help="dotted config override, e.g. train.batch_size=128",
+        )
+
+    sp = sub.add_parser("train", help="train a preset config")
+    common(sp)
+    sp.add_argument("--steps", type=int, default=None, help="override step count")
+    sp.add_argument("--metrics", default=None, help="JSONL metrics path")
+    sp.add_argument("--quiet", action="store_true")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("sample", help="sample SMILES from the prior")
+    common(sp)
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("-n", type=int, default=10)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--stochastic", action="store_true")
+    sp.add_argument("--temperature", type=float, default=1.0)
+    sp.set_defaults(fn=cmd_sample)
+
+    sp = sub.add_parser("interpolate", help="latent interpolation between two SMILES")
+    common(sp)
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("start")
+    sp.add_argument("end")
+    sp.add_argument("-n", type=int, default=10)
+    sp.set_defaults(fn=cmd_interpolate)
+
+    sp = sub.add_parser("reconstruct", help="encode->decode round trip")
+    common(sp)
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("smiles", nargs="+")
+    sp.set_defaults(fn=cmd_reconstruct)
+
+    sp = sub.add_parser("presets", help="list named presets")
+    sp.set_defaults(fn=cmd_presets)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

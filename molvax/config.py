@@ -1,0 +1,218 @@
+"""Frozen config tree + the five driver presets (BASELINE.json:6-12).
+
+Reference parity: the reference configures via argparse flags / top-of-file
+constants (SURVEY.md 2.13). Here: one frozen dataclass tree per run, hashable
+so model configs can be jit static args; presets are named constructors.
+
+The two reference-lineage ambiguities (SURVEY.md section 2 notes A/B) are
+explicit config axes, not code forks:
+  * ``conv_orientation``: 'seq' (paper-faithful: convolve along the 120
+    positions, charset = input channels) vs 'charset' (the compact-port
+    quirk: Conv1d(120, ...) convolves along the charset axis).
+  * ``decoder_conditioning``: 'teacher_forced' (spec, BASELINE.json:5) vs
+    'repeat_z' (compact-port simplification).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    max_len: int = 120
+    charset_size: int = 37  # molvax.data.DEFAULT_CHARSET size; ~35 per spec
+    latent_dim: int = 292
+    conv_channels: Tuple[int, ...] = (9, 9, 10)
+    conv_kernels: Tuple[int, ...] = (9, 9, 11)
+    conv_orientation: str = "seq"  # 'seq' | 'charset'  (note A)
+    enc_hidden: int = 435
+    gru_hidden: int = 501
+    gru_layers: int = 3
+    decoder_conditioning: str = "teacher_forced"  # | 'repeat_z'  (note B)
+    recon_loss: str = "ce"  # 'ce' (spec) | 'bce' (compact-port BCE-on-softmax)
+    eps_scale: float = 1.0  # reparam noise scale; compact ports use 1e-2
+    n_properties: int = 0  # 0 = no property head; 3 = logP/QED/SAS
+    property_hidden: int = 67
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16' matmul policy
+    use_pallas: bool = False  # Pallas kernels for hot ops (TPU only)
+
+    def __post_init__(self):
+        assert self.conv_orientation in ("seq", "charset")
+        assert self.decoder_conditioning in ("teacher_forced", "repeat_z")
+        assert self.recon_loss in ("ce", "bce")
+        assert len(self.conv_channels) == len(self.conv_kernels)
+
+
+@dataclasses.dataclass(frozen=True)
+class KLScheduleConfig:
+    kind: str = "linear"  # 'constant' | 'linear' | 'cyclical'
+    beta_max: float = 1.0
+    warmup_steps: int = 2000  # linear: steps to reach beta_max
+    cycle_steps: int = 10000  # cyclical: period
+    ratio: float = 0.5  # cyclical: fraction of cycle spent ramping
+
+    def __post_init__(self):
+        assert self.kind in ("constant", "linear", "cyclical")
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 64
+    learning_rate: float = 1e-3
+    epochs: int = 50
+    steps: Optional[int] = None  # overrides epochs when set
+    seed: int = 0
+    kl: KLScheduleConfig = KLScheduleConfig()
+    property_loss_weight: float = 1.0
+    grad_clip_norm: Optional[float] = None
+    log_every: int = 50
+    checkpoint_every: int = 1000
+    checkpoint_dir: Optional[str] = None
+    keep_checkpoints: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    source: str = "synthetic"  # 'synthetic' | path to .h5/.smi/.csv
+    n_synthetic: int = 5000
+    max_len: int = 120
+    test_fraction: float = 0.05
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    data_axis: int = 1  # devices along the 'data' axis (DP degree)
+    model_axis: int = 1  # reserved: 'model' axis for future TP (SURVEY.md 2)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = ModelConfig()
+    train: TrainConfig = TrainConfig()
+    data: DataConfig = DataConfig()
+    mesh: MeshConfig = MeshConfig()
+    name: str = "default"
+
+
+# --------------------------------------------------------------------------
+# Presets: the five driver configs (BASELINE.json:6-12) + parity variant
+# --------------------------------------------------------------------------
+
+def chemvae_5k() -> Config:
+    """Preset 1: reference ChemVAE on a 5k ZINC subset, batch 64 (CPU-runnable)."""
+    return Config(
+        name="chemvae_5k",
+        model=ModelConfig(),
+        train=TrainConfig(batch_size=64, epochs=50),
+        data=DataConfig(n_synthetic=5000),
+    )
+
+
+def chemvae_ref_faithful() -> Config:
+    """Parity variant: every compact-port quirk on (notes A/B, BCE loss,
+    1e-2 noise). Used by the PyTorch parity twin to pin numerics."""
+    return Config(
+        name="chemvae_ref_faithful",
+        model=ModelConfig(
+            conv_orientation="charset",
+            decoder_conditioning="repeat_z",
+            recon_loss="bce",
+            eps_scale=1e-2,
+        ),
+        train=TrainConfig(batch_size=64, epochs=50),
+        data=DataConfig(n_synthetic=5000),
+    )
+
+
+def zinc250k() -> Config:
+    """Preset 2: full ZINC-250k, batch 256, cyclical KL-annealing, bf16 matmuls."""
+    return Config(
+        name="zinc250k",
+        model=ModelConfig(compute_dtype="bfloat16", use_pallas=True),
+        train=TrainConfig(
+            batch_size=256,
+            epochs=50,
+            kl=KLScheduleConfig(kind="cyclical", cycle_steps=8000, ratio=0.5),
+        ),
+        data=DataConfig(n_synthetic=250_000),
+    )
+
+
+def property_joint() -> Config:
+    """Preset 3: joint logP/QED/SAS regression head on z, multi-task ELBO."""
+    return Config(
+        name="property_joint",
+        model=ModelConfig(n_properties=3),
+        train=TrainConfig(batch_size=256, epochs=50, property_loss_weight=1.0),
+        data=DataConfig(n_synthetic=250_000),
+    )
+
+
+def moses_scaled() -> Config:
+    """Preset 4: scaled decoder (4x GRU-1024, latent-512), MOSES 1.9M,
+    data-parallel v5e-8."""
+    return Config(
+        name="moses_scaled",
+        model=ModelConfig(
+            latent_dim=512,
+            gru_hidden=1024,
+            gru_layers=4,
+            enc_hidden=512,
+            compute_dtype="bfloat16",
+            use_pallas=True,
+        ),
+        train=TrainConfig(
+            batch_size=2048,  # global; 256/chip on v5e-8
+            epochs=10,
+            kl=KLScheduleConfig(kind="cyclical", cycle_steps=20000),
+        ),
+        data=DataConfig(n_synthetic=1_900_000),
+        mesh=MeshConfig(data_axis=8),
+    )
+
+
+def latent_workloads() -> Config:
+    """Preset 5: batched prior sampling, slerp interpolation, gradient-based
+    property optimization in z (inference workloads on a trained model)."""
+    return Config(
+        name="latent_workloads",
+        model=ModelConfig(n_properties=3),
+        train=TrainConfig(batch_size=256, epochs=5),
+        data=DataConfig(n_synthetic=50_000),
+    )
+
+
+PRESETS = {
+    f.__name__: f
+    for f in (
+        chemvae_5k,
+        chemvae_ref_faithful,
+        zinc250k,
+        property_joint,
+        moses_scaled,
+        latent_workloads,
+    )
+}
+
+
+def get_preset(name: str) -> Config:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name]()
+
+
+def apply_overrides(cfg: Config, overrides: dict) -> Config:
+    """Dotted-path overrides: {'train.batch_size': 128, 'model.use_pallas': True}."""
+    for path, value in overrides.items():
+        parts = path.split(".")
+        objs = [cfg]
+        for p in parts[:-1]:
+            objs.append(getattr(objs[-1], p))
+        new = value
+        for obj, field in zip(reversed(objs), reversed(parts)):
+            new = dataclasses.replace(obj, **{field: new})
+        cfg = new
+    return cfg

@@ -1,0 +1,41 @@
+from .charset import Charset, DEFAULT_CHARSET, PAD_CHAR
+from .featurize import (
+    argmax_codes,
+    decode_codes,
+    encode_smiles,
+    one_hot,
+    one_hot_to_smiles,
+    smiles_to_one_hot,
+    valid_fraction,
+)
+from .pipeline import BatchIterator
+from .zinc import (
+    Dataset,
+    load_dataset,
+    load_h5,
+    load_smiles_file,
+    surrogate_properties,
+    synthetic_dataset,
+    synthetic_smiles,
+)
+
+__all__ = [
+    "Charset",
+    "DEFAULT_CHARSET",
+    "PAD_CHAR",
+    "argmax_codes",
+    "decode_codes",
+    "encode_smiles",
+    "one_hot",
+    "one_hot_to_smiles",
+    "smiles_to_one_hot",
+    "valid_fraction",
+    "BatchIterator",
+    "Dataset",
+    "load_dataset",
+    "load_h5",
+    "load_smiles_file",
+    "surrogate_properties",
+    "synthetic_dataset",
+    "synthetic_smiles",
+]

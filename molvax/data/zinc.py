@@ -1,0 +1,222 @@
+"""Dataset loading: chemvae-format .h5, plain text SMILES, synthetic corpus.
+
+Reference parity: the reference loads a preprocessed ZINC-250k export with
+h5py (keys ``data_train`` / ``data_test`` / ``charset``), wraps the one-hot
+float arrays in TensorDataset/DataLoader (SURVEY.md 2.8, 3.5).
+
+TPU-native design: whatever the source format, datasets normalize to compact
+(N, T) uint8 code arrays on the host. One-hot only ever materializes on
+device (featurize.one_hot, inside jit). The chemvae .h5 layout remains
+drop-in loadable so real ZINC-250k/MOSES exports work unchanged.
+
+No ZINC/MOSES files ship on this machine and there is no network (SURVEY.md
+section 7 "Hard parts"), so a deterministic synthetic SMILES corpus stands in
+for smoke tests and benchmarks; loaders accept real files when present.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .charset import Charset, DEFAULT_CHARSET
+from .featurize import encode_smiles
+
+
+@dataclasses.dataclass
+class Dataset:
+    """Host-resident dataset of encoded SMILES (+ optional property targets)."""
+
+    codes: np.ndarray  # (N, T) uint8
+    charset: Charset
+    properties: Optional[np.ndarray] = None  # (N, P) float32 (logP/QED/SAS)
+
+    def __len__(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def max_len(self) -> int:
+        return self.codes.shape[1]
+
+    def split(self, test_fraction: float = 0.1, seed: int = 0) -> Tuple["Dataset", "Dataset"]:
+        rng = np.random.default_rng(seed)
+        perm = rng.permutation(len(self))
+        n_test = int(len(self) * test_fraction)
+        te, tr = perm[:n_test], perm[n_test:]
+        props = self.properties
+        return (
+            Dataset(self.codes[tr], self.charset, None if props is None else props[tr]),
+            Dataset(self.codes[te], self.charset, None if props is None else props[te]),
+        )
+
+
+# --------------------------------------------------------------------------
+# chemvae .h5 export (data_train / data_test / charset), one-hot float inside
+# --------------------------------------------------------------------------
+
+def load_h5(path: str, key: str = "data_train") -> Dataset:
+    """Load a chemvae-style .h5 export. The file stores (N, 120, C) one-hot;
+    we immediately collapse to uint8 codes (argmax over C) - the inverse is
+    exact because rows are one-hot."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        charset = Charset.from_list(list(f["charset"][:]))
+        data = f[key]
+        # Stream in chunks to avoid materializing N*120*C floats at once.
+        n = data.shape[0]
+        codes = np.empty((n, data.shape[1]), dtype=np.uint8)
+        step = max(1, (1 << 26) // max(1, data.shape[1] * data.shape[2]))
+        for i in range(0, n, step):
+            codes[i : i + step] = np.argmax(data[i : i + step], axis=-1)
+    return Dataset(codes=codes, charset=charset)
+
+
+def load_smiles_file(
+    path: str,
+    charset: Optional[Charset] = None,
+    max_len: int = 120,
+) -> Dataset:
+    """Load a .smi/.txt/.csv file of SMILES (first whitespace/comma token per
+    line; header lines that aren't valid SMILES are skipped)."""
+    smiles: List[str] = []
+    with open(path) as f:
+        for line in f:
+            tok = line.strip().split(",")[0].split()
+            if not tok:
+                continue
+            s = tok[0]
+            if s.lower() in ("smiles", "canonical_smiles"):
+                continue
+            if len(s) <= max_len:
+                smiles.append(s)
+    cs = charset or Charset.from_corpus(smiles)
+    return Dataset(codes=encode_smiles(smiles, cs, max_len), charset=cs)
+
+
+# --------------------------------------------------------------------------
+# Synthetic corpus (offline stand-in for ZINC-250k / MOSES)
+# --------------------------------------------------------------------------
+
+_ATOMS = ["C", "C", "C", "C", "N", "N", "O", "O", "S", "F", "Cl", "Br"]
+_AROM = ["c", "c", "c", "n", "o", "s"]
+_BONDS = ["", "", "", "", "=", "#"]
+
+
+def _random_chain(rng: np.random.Generator, budget: int, depth: int = 0) -> str:
+    """Grammar-valid SMILES-like fragment: balanced branches, paired ring
+    digits, plausible char distribution. Not chemically validated (no RDKit
+    offline) - sufficient for training-dynamics and throughput work."""
+    out: List[str] = []
+    n = int(rng.integers(3, max(4, budget)))
+    ring_open: List[str] = []
+    for _ in range(n):
+        if rng.random() < 0.25:
+            out.append(_BONDS[rng.integers(0, len(_BONDS))])
+        if rng.random() < 0.3:
+            out.append(_AROM[rng.integers(0, len(_AROM))])
+        else:
+            out.append(_ATOMS[rng.integers(0, len(_ATOMS))])
+        # ring digits, opened and closed in pairs
+        if ring_open and rng.random() < 0.3:
+            out.append(ring_open.pop())
+        elif len(ring_open) < 4 and rng.random() < 0.15:
+            d = str(rng.integers(1, 9))
+            if d not in ring_open:
+                ring_open.append(d)
+                out.append(d)
+        # branch
+        if depth < 3 and budget > 8 and rng.random() < 0.2:
+            out.append("(" + _random_chain(rng, budget // 2, depth + 1) + ")")
+    while ring_open:
+        out.append(ring_open.pop())
+    return "".join(out)
+
+
+def synthetic_smiles(
+    n: int, seed: int = 0, max_len: int = 118, min_len: int = 8
+) -> List[str]:
+    """Deterministic synthetic SMILES corpus."""
+    rng = np.random.default_rng(seed)
+    out: List[str] = []
+    while len(out) < n:
+        s = _random_chain(rng, int(rng.integers(6, 26)))
+        if min_len <= len(s) <= max_len:
+            out.append(s)
+    return out
+
+
+def synthetic_dataset(
+    n: int,
+    charset: Charset = DEFAULT_CHARSET,
+    max_len: int = 120,
+    seed: int = 0,
+    with_properties: bool = False,
+) -> Dataset:
+    smiles = synthetic_smiles(n, seed=seed, max_len=max_len - 2)
+    codes = encode_smiles(smiles, charset, max_len)
+    props = None
+    if with_properties:
+        props = surrogate_properties(codes, charset)
+    return Dataset(codes=codes, charset=charset, properties=props)
+
+
+def surrogate_properties(codes: np.ndarray, charset: Charset) -> np.ndarray:
+    """Cheap logP/QED/SAS-like surrogate targets computed from composition
+    (no RDKit offline; SURVEY.md section 7). Deterministic functions of the
+    string so the property head has real signal to regress:
+      p0 ~ 'logP': carbon fraction minus heteroatom fraction, scaled
+      p1 ~ 'QED' : ring/branch balance squashed to (0, 1)
+      p2 ~ 'SAS' : length + branching complexity, roughly 1..10
+    """
+    idx = charset.to_index()
+
+    def count(codes_row, chars):
+        ids = [idx[c] for c in chars if c in idx]
+        return np.isin(codes_row, ids).sum(axis=-1)
+
+    length = (codes != charset.pad_index).sum(axis=-1).astype(np.float32)
+    length = np.maximum(length, 1.0)
+    carbons = count(codes, ["C", "c"]).astype(np.float32)
+    hetero = count(codes, ["N", "O", "S", "n", "o", "s", "F", "l", "r"]).astype(np.float32)
+    rings = count(codes, ["1", "2", "3", "4", "5", "6", "7", "8", "9"]).astype(np.float32)
+    branches = count(codes, ["("]).astype(np.float32)
+    double = count(codes, ["=", "#"]).astype(np.float32)
+
+    logp = 5.0 * (carbons / length) - 4.0 * (hetero / length) + 0.3 * double / length
+    qed = 1.0 / (1.0 + np.exp(-(rings - branches) / 2.0))
+    sas = 1.0 + 9.0 * np.tanh(length / 80.0 + branches / 10.0)
+    return np.stack([logp, qed, sas], axis=-1).astype(np.float32)
+
+
+def load_dataset(
+    source: str,
+    charset: Optional[Charset] = None,
+    max_len: int = 120,
+    synthetic_n: int = 5000,
+    seed: int = 0,
+    with_properties: bool = False,
+) -> Dataset:
+    """Dispatch on source: 'synthetic' | path.h5 | path.{smi,txt,csv}."""
+    if source != "synthetic" and not os.path.exists(source):
+        raise FileNotFoundError(
+            f"dataset source {source!r} not found (use 'synthetic' for the offline corpus)"
+        )
+    if source == "synthetic":
+        return synthetic_dataset(
+            synthetic_n,
+            charset or DEFAULT_CHARSET,
+            max_len,
+            seed,
+            with_properties=with_properties,
+        )
+    if source.endswith((".h5", ".hdf5")):
+        ds = load_h5(source)
+    else:
+        ds = load_smiles_file(source, charset, max_len)
+    if with_properties and ds.properties is None:
+        ds.properties = surrogate_properties(ds.codes, ds.charset)
+    return ds

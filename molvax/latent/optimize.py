@@ -1,0 +1,101 @@
+"""Gradient-based property optimization in latent space.
+
+Reference parity (SURVEY.md 2.10, BASELINE.json:11): the ChemVAE headline
+workload - start from an encoded molecule (or prior sample), ascend the
+property head's prediction by gradient in z, decode the optimized latent.
+
+TPU-native design: the optimization loop is a `lax.scan` of jitted gradient
+steps (optionally with a Gaussian-prior log-density penalty keeping z
+on-manifold); the whole trajectory for a batch of seeds is one device
+program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..nn.property_head import predict_properties
+
+Array = jax.Array
+
+
+class OptimizeResult(NamedTuple):
+    z: Array  # (B, L) final latents
+    objective: Array  # (B,) final objective values
+    trajectory: Array  # (steps, B) objective per step
+
+
+def default_objective(cfg: ModelConfig, property_index: int = 0, sign: float = 1.0):
+    """Maximize (sign=+1) / minimize (sign=-1) one property-head output."""
+
+    def objective(params, z):
+        props = predict_properties(params["property_head"], cfg, z)
+        return sign * props[..., property_index]
+
+    return objective
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "objective", "steps", "lr", "prior_weight")
+)
+def optimize_z(
+    params,
+    cfg: ModelConfig,
+    z0: Array,
+    objective: Optional[Callable] = None,
+    steps: int = 100,
+    lr: float = 0.05,
+    prior_weight: float = 1e-3,
+) -> OptimizeResult:
+    """Gradient-ascend `objective(params, z)` from z0 (B, L).
+
+    `prior_weight` scales a -||z||^2/2 regularizer (Gaussian prior
+    log-density) that keeps optimized latents decodable."""
+    if objective is None:
+        objective = default_objective(cfg)
+
+    def total(z):
+        obj = objective(params, z)
+        reg = -0.5 * prior_weight * jnp.sum(z * z, axis=-1)
+        return jnp.sum(obj + reg), obj
+
+    grad_fn = jax.grad(lambda z: total(z)[0])
+
+    def step(z, _):
+        g = grad_fn(z)
+        z_new = z + lr * g
+        _, obj = total(z_new)
+        return z_new, obj
+
+    z_final, traj = jax.lax.scan(step, z0, None, length=steps)
+    _, obj_final = total(z_final)
+    return OptimizeResult(z=z_final, objective=obj_final, trajectory=traj)
+
+
+def optimize_from_smiles(
+    params,
+    cfg: ModelConfig,
+    smiles: list,
+    key: Array,
+    objective: Optional[Callable] = None,
+    steps: int = 100,
+    lr: float = 0.05,
+    charset=None,
+) -> Tuple[list, OptimizeResult]:
+    """Encode seeds -> optimize -> decode. Returns (smiles_out, result)."""
+    from ..data.charset import DEFAULT_CHARSET
+    from ..data.featurize import decode_codes, encode_smiles
+    from ..nn.vae import encode as vae_encode
+    from .sample import generate
+
+    charset = charset or DEFAULT_CHARSET
+    codes = jnp.asarray(encode_smiles(smiles, charset, cfg.max_len))
+    mu, _ = vae_encode(params, cfg, codes)
+    result = optimize_z(params, cfg, mu, objective=objective, steps=steps, lr=lr)
+    out_codes, _ = generate(params, cfg, result.z, key, greedy=True)
+    return decode_codes(out_codes, charset), result

@@ -1,0 +1,126 @@
+"""Generation: prior sampling and free-running (autoregressive) decoding.
+
+Reference parity (SURVEY.md 2.10, 3.4): decode z ~ N(0, I) to SMILES via
+argmax; the teacher-forced decoder generates autoregressively at inference
+(previous sampled/argmax char fed back, SURVEY.md note B).
+
+TPU-native design: the whole autoregressive loop is ONE `lax.scan` over the
+static T=120 with the stacked-GRU hidden state and previous one-hot as carry
+- no per-step host round-trips; sampling keys are split per-step inside the
+scan (PRNG discipline, SURVEY.md section 7). Batched: generating N molecules
+is a single device program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..data.charset import Charset, DEFAULT_CHARSET
+from ..data.featurize import decode_codes
+from ..nn.decoder import latent_embed
+from ..nn.encoder import linear
+from ..nn.gru import gru_stack_step
+
+Array = jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "greedy"))
+def generate(
+    params,
+    cfg: ModelConfig,
+    z: Array,
+    key: Optional[Array] = None,
+    greedy: bool = True,
+    temperature: float = 1.0,
+) -> Tuple[Array, Array]:
+    """z: (B, L) -> (codes (B, T) int32, logits (B, T, C)).
+
+    'teacher_forced' models run the autoregressive feedback scan;
+    'repeat_z' models decode in one non-autoregressive pass (their decoder
+    never sees its own outputs - reference behavior)."""
+    dec = params["decoder"]
+    B = z.shape[0]
+    T, C = cfg.max_len, cfg.charset_size
+    if key is None:
+        key = jax.random.key(0)
+
+    if cfg.decoder_conditioning == "repeat_z":
+        from ..nn.decoder import decode as dec_fn
+
+        logits = dec_fn(params["decoder"], cfg, z, None)
+        if greedy:
+            codes = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            codes = jax.random.categorical(key, logits / temperature, axis=-1).astype(
+                jnp.int32
+            )
+        return codes, logits
+
+    z_emb = latent_embed(dec, cfg, z)
+    L = len(dec["gru"])
+    H = dec["gru"][0]["w_hh"].shape[0]
+    h0 = jnp.zeros((L, B, H), jnp.float32)
+    prev0 = jnp.zeros((B, C), jnp.float32)  # start token = zero vector
+    keys = jax.random.split(key, T)
+
+    def step(carry, key_t):
+        hs, prev = carry
+        x_t = jnp.concatenate([z_emb, prev], axis=-1)
+        hs, out = gru_stack_step(dec["gru"], hs, x_t)
+        logits_t = linear(dec["linear_out"], out)  # (B, C)
+        if greedy:
+            code_t = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+        else:
+            code_t = jax.random.categorical(key_t, logits_t / temperature).astype(
+                jnp.int32
+            )
+        onehot_t = jax.nn.one_hot(code_t, C, dtype=jnp.float32)
+        return (hs, onehot_t), (code_t, logits_t)
+
+    (_, _), (codes_t, logits_t) = jax.lax.scan(step, (h0, prev0), keys)
+    return jnp.swapaxes(codes_t, 0, 1), jnp.swapaxes(logits_t, 0, 1)
+
+
+def sample_prior(
+    params,
+    cfg: ModelConfig,
+    n: int,
+    key: Array,
+    charset: Charset = DEFAULT_CHARSET,
+    greedy: bool = True,
+    temperature: float = 1.0,
+    scale: float = 1.0,
+) -> List[str]:
+    """Decode n latents from the prior z ~ N(0, scale^2 I) to SMILES strings."""
+    k_z, k_gen = jax.random.split(key)
+    z = scale * jax.random.normal(k_z, (n, cfg.latent_dim), jnp.float32)
+    codes, _ = generate(params, cfg, z, k_gen, greedy=greedy, temperature=temperature)
+    return decode_codes(codes, charset)
+
+
+def reconstruct(
+    params,
+    cfg: ModelConfig,
+    smiles: List[str],
+    key: Array,
+    charset: Charset = DEFAULT_CHARSET,
+    stochastic: bool = False,
+) -> List[str]:
+    """encode -> (mu or sampled z) -> free-running decode -> strings."""
+    from ..data.featurize import encode_smiles
+    from ..nn.vae import encode as vae_encode, reparameterize
+
+    codes = jnp.asarray(encode_smiles(smiles, charset, cfg.max_len))
+    mu, logvar = vae_encode(params, cfg, codes)
+    if stochastic:
+        k1, key = jax.random.split(key)
+        z = reparameterize(k1, mu, logvar, cfg.eps_scale)
+    else:
+        z = mu
+    out_codes, _ = generate(params, cfg, z, key, greedy=True)
+    return decode_codes(out_codes, charset)

@@ -1,0 +1,98 @@
+"""MolecularVAE: encode / reparameterize / decode / forward.
+
+Reference parity (SURVEY.md L2, 2.3-2.5, 3.2): same public API surface as the
+reference `nn.Module` - ``encode(x) -> (mu, logvar)``,
+``reparameterize/sampling``, ``decode(z)``, ``forward(x) -> (y, mu, logvar)``
+- expressed functionally: params are an explicit pytree, every entry point is
+jit-compatible, PRNG keys are threaded explicitly (SURVEY.md section 7, PRNG
+discipline).
+
+TPU-native design: inputs are uint8 code arrays; one-hot happens inside the
+traced function and fuses into the encoder. The params pytree is what gets
+sharded by GSPMD (replicated over the 'data' mesh axis) and checkpointed by
+orbax.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..data.featurize import one_hot
+from .decoder import decode as _decode
+from .decoder import init_decoder_params
+from .encoder import encode as _encode
+from .encoder import init_encoder_params
+from .property_head import init_property_head_params, predict_properties
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+
+class VAEOutput(NamedTuple):
+    logits: Array  # (B, T, C) decoder logits
+    mu: Array  # (B, L)
+    logvar: Array  # (B, L)
+    z: Array  # (B, L) sampled latent
+    properties: Optional[Array] = None  # (B, P) if the head is configured
+
+
+def init_vae_params(key: Array, cfg: ModelConfig) -> Params:
+    k_enc, k_dec, k_prop = jax.random.split(key, 3)
+    params: Params = {
+        "encoder": init_encoder_params(k_enc, cfg),
+        "decoder": init_decoder_params(k_dec, cfg),
+    }
+    if cfg.n_properties > 0:
+        params["property_head"] = init_property_head_params(k_prop, cfg)
+    return params
+
+
+def encode(params: Params, cfg: ModelConfig, codes: Array) -> Tuple[Array, Array]:
+    """codes: (B, T) uint8/int -> (mu, logvar). One-hot happens on device."""
+    x = one_hot(codes, cfg.charset_size)
+    return _encode(params["encoder"], cfg, x)
+
+
+def reparameterize(
+    key: Array, mu: Array, logvar: Array, eps_scale: float = 1.0
+) -> Array:
+    """z = mu + eps_scale * exp(0.5*logvar) * eps, eps ~ N(0, I)
+    (SURVEY.md 2.4; compact ports scale eps by 1e-2 - cfg.eps_scale)."""
+    eps = jax.random.normal(key, mu.shape, dtype=mu.dtype)
+    return mu + eps_scale * jnp.exp(0.5 * logvar) * eps
+
+
+def decode(
+    params: Params,
+    cfg: ModelConfig,
+    z: Array,
+    teacher_codes: Optional[Array] = None,
+) -> Array:
+    """z -> logits (B, T, C). teacher_codes (B, T) required for
+    teacher-forced decoding; see molvax.latent.sample for free-running."""
+    teacher = (
+        one_hot(teacher_codes, cfg.charset_size) if teacher_codes is not None else None
+    )
+    return _decode(params["decoder"], cfg, z, teacher)
+
+
+def forward(
+    params: Params, cfg: ModelConfig, key: Array, codes: Array
+) -> VAEOutput:
+    """Full training-path forward: codes (B, T) -> VAEOutput."""
+    mu, logvar = encode(params, cfg, codes)
+    z = reparameterize(key, mu, logvar, cfg.eps_scale)
+    teacher = codes if cfg.decoder_conditioning == "teacher_forced" else None
+    logits = decode(params, cfg, z, teacher)
+    props = None
+    if cfg.n_properties > 0 and "property_head" in params:
+        props = predict_properties(params["property_head"], cfg, z)
+    return VAEOutput(logits=logits, mu=mu, logvar=logvar, z=z, properties=props)
+
+
+def param_count(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))

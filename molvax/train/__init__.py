@@ -1,0 +1,17 @@
+from .loop import TrainState, init_state, make_eval_step, make_train_step, train
+from .loss import gaussian_kl, recon_accuracy, recon_bce, recon_ce, vae_loss
+from .schedules import beta_at
+
+__all__ = [
+    "TrainState",
+    "init_state",
+    "make_eval_step",
+    "make_train_step",
+    "train",
+    "gaussian_kl",
+    "recon_accuracy",
+    "recon_bce",
+    "recon_ce",
+    "vae_loss",
+    "beta_at",
+]

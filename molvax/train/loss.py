@@ -1,0 +1,108 @@
+"""KL-annealed ELBO (+ optional multi-task property loss) and metrics.
+
+Reference parity (SURVEY.md 2.6, 3.3):
+  * recon: per-character cross-entropy of the decoder distribution vs the
+    ground-truth characters, summed over the 120 positions ('ce' mode, the
+    spec per BASELINE.json:5). The compact-port variant - elementwise binary
+    cross-entropy of softmax probabilities vs the one-hot targets
+    (``F.binary_cross_entropy(softmax(out), x, size_average=False)``) - is
+    kept as 'bce' for parity experiments (SURVEY.md note on 2.6).
+  * kl: -0.5 * sum(1 + logvar - mu^2 - exp(logvar)).
+  * total = recon + beta(step) * kl, beta from train/schedules.py.
+
+Reduction convention: per-molecule sums, batch MEAN (the reference sums over
+the batch too; mean makes gradients batch-size invariant - identical
+trajectory up to the lr scale, and parity tests compare per-sample sums
+exactly).
+
+Everything is fp32 even under the bf16 matmul policy (SURVEY.md section 7).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..data.featurize import one_hot
+
+Array = jax.Array
+
+
+def recon_ce(logits: Array, codes: Array) -> Array:
+    """Per-sample summed cross-entropy. logits (B,T,C), codes (B,T) -> (B,)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, codes[..., None].astype(jnp.int32), axis=-1)
+    return jnp.sum(nll[..., 0], axis=-1)
+
+
+def recon_bce(logits: Array, codes: Array, charset_size: int) -> Array:
+    """Compact-port BCE-on-softmax, per-sample sum. Matches
+    torch.nn.functional.binary_cross_entropy(softmax(logits), onehot)."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    x = one_hot(codes, charset_size)
+    eps = 1e-12
+    bce = -(x * jnp.log(probs + eps) + (1.0 - x) * jnp.log(1.0 - probs + eps))
+    return jnp.sum(bce, axis=(-1, -2))
+
+
+def gaussian_kl(mu: Array, logvar: Array) -> Array:
+    """Per-sample KL(q(z|x) || N(0, I)): -0.5*sum(1+logvar-mu^2-e^logvar)."""
+    mu = mu.astype(jnp.float32)
+    logvar = logvar.astype(jnp.float32)
+    return -0.5 * jnp.sum(1.0 + logvar - mu * mu - jnp.exp(logvar), axis=-1)
+
+
+def recon_accuracy(logits: Array, codes: Array, pad_index: int = 0) -> Tuple[Array, Array]:
+    """(teacher-forced) char accuracy: over all T positions, and non-pad only.
+    The >=95%-at-epoch-50 target (BASELINE.json:2,5) is the all-positions one
+    (the reference scores all 120 chars including padding)."""
+    pred = jnp.argmax(logits, axis=-1)
+    hit = (pred == codes).astype(jnp.float32)
+    acc_all = jnp.mean(hit)
+    nonpad = (codes != pad_index).astype(jnp.float32)
+    acc_nonpad = jnp.sum(hit * nonpad) / jnp.maximum(jnp.sum(nonpad), 1.0)
+    return acc_all, acc_nonpad
+
+
+def vae_loss(
+    cfg: ModelConfig,
+    logits: Array,
+    codes: Array,
+    mu: Array,
+    logvar: Array,
+    beta: Array,
+    properties_pred: Optional[Array] = None,
+    properties_true: Optional[Array] = None,
+    property_loss_weight: float = 1.0,
+) -> Tuple[Array, Dict[str, Array]]:
+    """Returns (scalar loss, metrics dict). All metrics are batch means."""
+    if cfg.recon_loss == "ce":
+        recon = recon_ce(logits, codes)
+    else:
+        recon = recon_bce(logits, codes, cfg.charset_size)
+    kl = gaussian_kl(mu, logvar)
+    elbo_terms = recon + beta * kl
+    loss = jnp.mean(elbo_terms)
+
+    metrics: Dict[str, Array] = {
+        "loss": loss,
+        "recon": jnp.mean(recon),
+        "kl": jnp.mean(kl),
+        "elbo": jnp.mean(recon + kl),  # beta=1 ELBO, comparable across schedules
+        "beta": jnp.asarray(beta, jnp.float32),
+    }
+    acc_all, acc_nonpad = recon_accuracy(logits, codes)
+    metrics["acc"] = acc_all
+    metrics["acc_nonpad"] = acc_nonpad
+
+    if properties_pred is not None and properties_true is not None:
+        prop_mse = jnp.mean(
+            jnp.sum((properties_pred - properties_true) ** 2, axis=-1)
+        )
+        loss = loss + property_loss_weight * prop_mse
+        metrics["prop_mse"] = prop_mse
+        metrics["loss"] = loss
+    return loss, metrics

@@ -1,0 +1,40 @@
+"""Test harness: CPU backend with 8 fake devices (SURVEY.md sections 4, 5.8).
+
+Must run before the first `import jax` anywhere in the test process: forces
+the CPU platform (tests are deterministic and runnable off-TPU) and carves it
+into 8 XLA devices so the GSPMD mesh/sharding code paths run for real -
+the idiomatic TPU equivalent of a fake distributed backend.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# jax may already be imported (pytest plugins) - the JAX_PLATFORMS env var is
+# latched at import, so set the config directly; platform selection is lazy,
+# and XLA_FLAGS (fake device count) is read at backend creation, so both
+# still apply as long as no backend is live yet.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    f"tests must run on the fake-device CPU backend, got {jax.default_backend()}; "
+    "a plugin initialized a backend before tests/conftest.py ran"
+)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices():
+    devs = jax.devices()
+    assert len(devs) == 8, f"expected 8 fake CPU devices, got {len(devs)}"
+    return devs

@@ -1,0 +1,103 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from molvax.config import ModelConfig
+from molvax.data import DEFAULT_CHARSET
+from molvax.latent import (
+    generate,
+    interpolate,
+    lerp,
+    optimize_z,
+    sample_prior,
+    slerp,
+)
+from molvax.nn import init_vae_params
+
+CFG = ModelConfig(
+    max_len=24, charset_size=DEFAULT_CHARSET.size, latent_dim=10,
+    conv_kernels=(5, 5, 5), enc_hidden=16, gru_hidden=16, gru_layers=2,
+    n_properties=2,
+)
+PARAMS = init_vae_params(jax.random.key(0), CFG)
+
+
+def test_generate_shapes_teacher_forced():
+    z = jax.random.normal(jax.random.key(1), (3, CFG.latent_dim))
+    codes, logits = generate(PARAMS, CFG, z, jax.random.key(2))
+    assert codes.shape == (3, CFG.max_len)
+    assert logits.shape == (3, CFG.max_len, CFG.charset_size)
+    assert codes.dtype == jnp.int32
+    assert (np.asarray(codes) >= 0).all() and (np.asarray(codes) < CFG.charset_size).all()
+
+
+def test_generate_greedy_deterministic():
+    z = jax.random.normal(jax.random.key(1), (2, CFG.latent_dim))
+    c1, _ = generate(PARAMS, CFG, z, jax.random.key(0), greedy=True)
+    c2, _ = generate(PARAMS, CFG, z, jax.random.key(99), greedy=True)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_generate_stochastic_varies_with_key():
+    z = jnp.zeros((4, CFG.latent_dim))
+    c1, _ = generate(PARAMS, CFG, z, jax.random.key(0), greedy=False, temperature=2.0)
+    c2, _ = generate(PARAMS, CFG, z, jax.random.key(1), greedy=False, temperature=2.0)
+    assert not np.array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_generate_repeat_z_mode():
+    cfg = dataclasses.replace(CFG, decoder_conditioning="repeat_z")
+    params = init_vae_params(jax.random.key(0), cfg)
+    z = jax.random.normal(jax.random.key(1), (3, cfg.latent_dim))
+    codes, logits = generate(params, cfg, z, jax.random.key(2))
+    assert codes.shape == (3, cfg.max_len)
+
+
+def test_greedy_matches_teacher_free_consistency():
+    """Autoregressive greedy decode must be self-consistent: re-running the
+    decoder teacher-forced on its own output reproduces the same argmax."""
+    from molvax.nn import decode as vae_decode
+
+    z = jax.random.normal(jax.random.key(5), (2, CFG.latent_dim))
+    codes, _ = generate(PARAMS, CFG, z, greedy=True)
+    logits_tf = vae_decode(PARAMS, CFG, z, teacher_codes=codes)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(logits_tf, -1)), np.asarray(codes)
+    )
+
+
+def test_sample_prior_strings():
+    smiles = sample_prior(PARAMS, CFG, 5, jax.random.key(0))
+    assert len(smiles) == 5
+    assert all(isinstance(s, str) for s in smiles)
+
+
+def test_lerp_slerp_endpoints():
+    z0 = jnp.array([[1.0, 0.0, 0.0, 0.0]])
+    z1 = jnp.array([[0.0, 2.0, 0.0, 0.0]])
+    for fn in (lerp, slerp):
+        np.testing.assert_allclose(np.asarray(fn(z0, z1, jnp.array(0.0))), np.asarray(z0), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(fn(z0, z1, jnp.array(1.0))), np.asarray(z1), atol=1e-5)
+    # slerp midpoint preserves interpolated norm
+    mid = slerp(z0, z1, jnp.array(0.5))
+    assert float(jnp.linalg.norm(mid)) == pytest.approx(1.5, rel=1e-4)
+
+
+def test_interpolate_strings():
+    out = interpolate(PARAMS, CFG, "CCO", "c1ccccc1", steps=5)
+    assert len(out) == 5
+    assert all(isinstance(s, str) for s in out)
+
+
+def test_optimize_z_improves_objective():
+    z0 = jax.random.normal(jax.random.key(3), (4, CFG.latent_dim))
+    res = optimize_z(PARAMS, CFG, z0, steps=50, lr=0.1)
+    assert res.z.shape == z0.shape
+    assert res.trajectory.shape == (50, 4)
+    start = np.asarray(res.trajectory[0])
+    end = np.asarray(res.objective)
+    assert (end >= start - 1e-4).all()
+    assert end.mean() > start.mean()

@@ -1,0 +1,118 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from molvax.config import KLScheduleConfig, ModelConfig
+from molvax.train.loss import (
+    gaussian_kl,
+    recon_accuracy,
+    recon_bce,
+    recon_ce,
+    vae_loss,
+)
+from molvax.train.schedules import beta_at
+
+
+def test_kl_closed_form():
+    # KL(N(mu, sigma^2) || N(0,1)) elementwise closed form
+    mu = jnp.array([[0.5, -1.0]])
+    logvar = jnp.array([[0.2, -0.3]])
+    expected = 0.5 * np.sum(
+        np.exp(np.asarray(logvar)) + np.asarray(mu) ** 2 - 1.0 - np.asarray(logvar)
+    )
+    np.testing.assert_allclose(np.asarray(gaussian_kl(mu, logvar))[0], expected, rtol=1e-6)
+
+
+def test_kl_zero_at_prior():
+    z = jnp.zeros((3, 8))
+    np.testing.assert_allclose(np.asarray(gaussian_kl(z, z)), 0.0, atol=1e-7)
+
+
+def test_recon_ce_matches_manual():
+    logits = jax.random.normal(jax.random.key(0), (2, 5, 7))
+    codes = jnp.array([[0, 1, 2, 3, 4], [6, 5, 4, 3, 2]])
+    logp = jax.nn.log_softmax(logits, -1)
+    manual = -np.sum(
+        np.take_along_axis(np.asarray(logp), np.asarray(codes)[..., None], axis=-1)[..., 0],
+        axis=-1,
+    )
+    np.testing.assert_allclose(np.asarray(recon_ce(logits, codes)), manual, rtol=1e-5)
+
+
+def test_recon_ce_perfect_prediction_near_zero():
+    codes = jnp.array([[0, 1, 2]])
+    logits = 100.0 * jax.nn.one_hot(codes, 5)
+    assert float(recon_ce(logits, codes)[0]) < 1e-3
+
+
+def test_recon_bce_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    logits = np.random.default_rng(0).normal(size=(2, 5, 7)).astype(np.float32)
+    codes = np.array([[0, 1, 2, 3, 4], [6, 5, 4, 3, 2]])
+    ours = np.asarray(recon_bce(jnp.asarray(logits), jnp.asarray(codes), 7))
+    probs = torch.softmax(torch.from_numpy(logits), dim=-1)
+    onehot = F.one_hot(torch.from_numpy(codes), 7).float()
+    theirs = F.binary_cross_entropy(probs, onehot, reduction="none").sum(dim=(-1, -2))
+    np.testing.assert_allclose(ours, theirs.numpy(), rtol=2e-4)
+
+
+def test_recon_accuracy():
+    codes = jnp.array([[1, 2, 0, 0]])  # two pad positions
+    logits = 10.0 * jax.nn.one_hot(jnp.array([[1, 3, 0, 0]]), 5)  # one miss
+    acc_all, acc_nonpad = recon_accuracy(logits, codes)
+    assert float(acc_all) == pytest.approx(0.75)
+    assert float(acc_nonpad) == pytest.approx(0.5)
+
+
+def test_beta_schedules():
+    const = KLScheduleConfig(kind="constant", beta_max=0.7)
+    assert float(beta_at(const, 0)) == pytest.approx(0.7)
+    assert float(beta_at(const, 9999)) == pytest.approx(0.7)
+
+    lin = KLScheduleConfig(kind="linear", beta_max=1.0, warmup_steps=100)
+    assert float(beta_at(lin, 0)) == 0.0
+    assert float(beta_at(lin, 50)) == pytest.approx(0.5)
+    assert float(beta_at(lin, 500)) == 1.0
+
+    cyc = KLScheduleConfig(kind="cyclical", beta_max=1.0, cycle_steps=100, ratio=0.5)
+    assert float(beta_at(cyc, 0)) == 0.0
+    assert float(beta_at(cyc, 25)) == pytest.approx(0.5)
+    assert float(beta_at(cyc, 60)) == 1.0  # hold phase
+    assert float(beta_at(cyc, 100)) == 0.0  # cycle restart
+    assert float(beta_at(cyc, 125)) == pytest.approx(0.5)
+
+
+def test_vae_loss_composition():
+    cfg = ModelConfig(max_len=5, charset_size=7, latent_dim=4)
+    logits = jax.random.normal(jax.random.key(0), (2, 5, 7))
+    codes = jnp.array([[0, 1, 2, 3, 4], [6, 5, 4, 3, 2]])
+    mu = 0.1 * jnp.ones((2, 4))
+    logvar = jnp.zeros((2, 4))
+    loss, metrics = vae_loss(cfg, logits, codes, mu, logvar, jnp.float32(0.5))
+    expected = float(
+        jnp.mean(recon_ce(logits, codes) + 0.5 * gaussian_kl(mu, logvar))
+    )
+    assert float(loss) == pytest.approx(expected, rel=1e-6)
+    assert set(metrics) >= {"loss", "recon", "kl", "elbo", "beta", "acc"}
+    # beta=0 -> pure recon
+    loss0, _ = vae_loss(cfg, logits, codes, mu, logvar, jnp.float32(0.0))
+    assert float(loss0) == pytest.approx(float(jnp.mean(recon_ce(logits, codes))), rel=1e-6)
+
+
+def test_vae_loss_property_term():
+    cfg = ModelConfig(max_len=5, charset_size=7, latent_dim=4, n_properties=2)
+    logits = jnp.zeros((2, 5, 7))
+    codes = jnp.zeros((2, 5), jnp.int32)
+    mu = jnp.zeros((2, 4))
+    pred = jnp.array([[1.0, 0.0], [0.0, 1.0]])
+    true = jnp.zeros((2, 2))
+    base, _ = vae_loss(cfg, logits, codes, mu, mu, jnp.float32(1.0))
+    joint, metrics = vae_loss(
+        cfg, logits, codes, mu, mu, jnp.float32(1.0),
+        properties_pred=pred, properties_true=true, property_loss_weight=2.0,
+    )
+    assert float(joint) == pytest.approx(float(base) + 2.0 * 1.0, rel=1e-6)
+    assert "prop_mse" in metrics
