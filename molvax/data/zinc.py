@@ -23,7 +23,8 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from .charset import Charset, DEFAULT_CHARSET
-from .featurize import encode_smiles
+from .featurize import encode_smiles  # noqa: F401 (re-export for callers)
+from .native import encode_smiles_native
 
 
 @dataclasses.dataclass
@@ -94,7 +95,7 @@ def load_smiles_file(
             if len(s) <= max_len:
                 smiles.append(s)
     cs = charset or Charset.from_corpus(smiles)
-    return Dataset(codes=encode_smiles(smiles, cs, max_len), charset=cs)
+    return Dataset(codes=encode_smiles_native(smiles, cs, max_len), charset=cs)
 
 
 # --------------------------------------------------------------------------
@@ -157,7 +158,7 @@ def synthetic_dataset(
     with_properties: bool = False,
 ) -> Dataset:
     smiles = synthetic_smiles(n, seed=seed, max_len=max_len - 2)
-    codes = encode_smiles(smiles, charset, max_len)
+    codes = encode_smiles_native(smiles, charset, max_len)
     props = None
     if with_properties:
         props = surrogate_properties(codes, charset)
