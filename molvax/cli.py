@@ -45,8 +45,9 @@ def cmd_train(args) -> int:
         max_steps=args.steps,
         verbose=not args.quiet,
     )
-    if history:
-        last = history[-1]
+    train_rows = [h for h in history if "loss" in h]
+    if train_rows:
+        last = train_rows[-1]
         print(
             f"done: step {last['step']} loss {last['loss']:.3f} "
             f"acc {last.get('acc', float('nan')):.3f}"
@@ -121,6 +122,22 @@ def cmd_presets(args) -> int:
 
 
 def main(argv=None) -> int:
+    import os
+
+    platform = os.environ.get("MOLVAX_PLATFORM")
+    if platform:
+        # The JAX_PLATFORMS env var can be clobbered by PJRT plugin setups
+        # (this dev host pins it to the axon TPU tunnel); MOLVAX_PLATFORM
+        # forces the backend via the config API, which always wins as long
+        # as no backend is live yet. MOLVAX_CPU_DEVICES carves the CPU
+        # platform into N virtual devices for mesh work without hardware.
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+        n_cpu = os.environ.get("MOLVAX_CPU_DEVICES")
+        if n_cpu:
+            jax.config.update("jax_num_cpu_devices", int(n_cpu))
+
     p = argparse.ArgumentParser(prog="molvax", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
 

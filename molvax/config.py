@@ -68,6 +68,8 @@ class TrainConfig:
     property_loss_weight: float = 1.0
     grad_clip_norm: Optional[float] = None
     log_every: int = 50
+    eval_every: int = 0  # steps between held-out evals (0 = off)
+    eval_batches: int = 4  # batches per eval pass
     checkpoint_every: int = 1000
     checkpoint_dir: Optional[str] = None
     keep_checkpoints: int = 3

@@ -1,0 +1,346 @@
+"""Pallas TPU kernel: GRU layer recurrence with custom VJP.
+
+The decoder's 120-step stacked GRU is ~90% of training FLOPs (SURVEY.md 3.1).
+Strategy (SURVEY.md 7 stage 8a):
+
+  * The input projection ``x @ W_ih`` of each layer does not depend on the
+    recurrence (teacher forcing), so it is ONE large XLA GEMM per layer.
+  * The recurrent half - per step ``gh = h @ W_hh``; gates; state update -
+    is this Pallas kernel: W_hh pinned in VMEM for the whole sweep, h carried
+    in a VMEM scratch accumulator, gate nonlinearities fused into the matmul
+    epilogue.
+  * Grid = (batch blocks, time blocks): each grid step processes K timesteps
+    for a 128-row batch block, amortizing per-step DMA/bookkeeping overhead
+    ~K x (measured: per-grid-step overhead ~30 us vs ~2 us of matmul, so
+    single-step grids are overhead-bound). Batch blocks are independent
+    recurrences; time blocks run innermost so the h scratch carries across.
+  * Backward is a second Pallas kernel sweeping time in reverse (block
+    index_map + reversed inner loop), carrying dh in scratch and emitting
+    packed gate cotangents; weight gradients reduce outside as two large
+    XLA GEMMs.
+
+Numerics: matmuls bf16 with fp32 accumulation; h carry and gate adds fp32;
+residuals and h_seq stored bf16 (halves HBM traffic; fp32 master state never
+leaves the kernel mid-sweep). Lane padding: H rounds up to 128 with gates
+stored padded-per-gate ([r|z|n] each Hp wide) so slice boundaries stay
+lane-aligned.
+
+The jnp reference is molvax.nn.gru.gru_layer_recurrence; tests/kernels/
+check interpret-mode agreement incl. gradients (SURVEY.md 4.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_B_BLK = 128  # batch rows per grid block
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _time_block(T: int, Hp: int, bytes_per_row: int, b_blk: int) -> int:
+    """Timesteps per grid block: biggest divisor of T whose double-buffered
+    in/out/residual blocks fit the ~16MB scoped VMEM (weights + scratch
+    reserved out of the budget). bytes_per_row = per-timestep bytes per batch
+    row (fwd: gi 6 + hseq 2 + rzn 6 + ghn 2 = 16*Hp bf16-ish; bwd: 26*Hp)."""
+    budget = 12 * 1024 * 1024
+    per_step = bytes_per_row * b_blk * 2  # x2: double buffering
+    cap = max(1, budget // max(per_step, 1))
+    for k in (12, 10, 8, 6, 5, 4, 3, 2, 1):
+        if T % k == 0 and k <= cap:
+            return k
+    return 1
+
+
+# --------------------------------------------------------------------------
+# padding helpers: gates packed [r|z|n], each padded H -> Hp
+# --------------------------------------------------------------------------
+
+def _pad_tail(x: Array, axis: int, target: int) -> Array:
+    pad = target - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _pad_gates(x: Array, H: int, Hp: int) -> Array:
+    """(..., 3H) -> (..., 3Hp), per-gate zero padding."""
+    if H == Hp:
+        return x
+    parts = [x[..., :H], x[..., H : 2 * H], x[..., 2 * H :]]
+    return jnp.concatenate([_pad_tail(p, -1, Hp) for p in parts], axis=-1)
+
+
+def _unpad_gates(x: Array, H: int, Hp: int) -> Array:
+    if H == Hp:
+        return x
+    return jnp.concatenate(
+        [x[..., :H], x[..., Hp : Hp + H], x[..., 2 * Hp : 2 * Hp + H]], axis=-1
+    )
+
+
+# --------------------------------------------------------------------------
+# forward kernel
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(gi_ref, w_ref, b_ref, h0_ref, hseq_ref, rzn_ref, ghn_ref, h_scr):
+    K = gi_ref.shape[0]
+    Hp = h0_ref.shape[1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+
+    h = h_scr[:]  # (B_BLK, Hp) fp32 carry
+    for k in range(K):
+        gh = (
+            jnp.dot(
+                h.astype(jnp.bfloat16), w_ref[:], preferred_element_type=jnp.float32
+            )
+            + b_ref[:]
+        )
+        gi = gi_ref[k].astype(jnp.float32)
+        r = jax.nn.sigmoid(gi[:, :Hp] + gh[:, :Hp])
+        z = jax.nn.sigmoid(gi[:, Hp : 2 * Hp] + gh[:, Hp : 2 * Hp])
+        ghn = gh[:, 2 * Hp :]
+        n = jnp.tanh(gi[:, 2 * Hp :] + r * ghn)
+        h = (1.0 - z) * n + z * h
+        hseq_ref[k] = h.astype(jnp.bfloat16)
+        rzn_ref[k] = jnp.concatenate([r, z, n], axis=-1).astype(jnp.bfloat16)
+        ghn_ref[k] = ghn.astype(jnp.bfloat16)
+    h_scr[:] = h
+
+
+def _fwd_call(gi_p: Array, w_p: Array, b_p: Array, h0_p: Array):
+    T, B, Gp = gi_p.shape
+    Hp = Gp // 3
+    b_blk = _B_BLK if B % _B_BLK == 0 else B
+    K = _time_block(T, Hp, 16 * Hp, b_blk)
+    nB, nT = B // b_blk, T // K
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(nB, nT),
+        in_specs=[
+            pl.BlockSpec((K, b_blk, Gp), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hp, Gp), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gp), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_blk, Hp), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, b_blk, Hp), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, b_blk, Gp), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, b_blk, Hp), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, Hp), jnp.bfloat16),  # h_seq
+            jax.ShapeDtypeStruct((T, B, Gp), jnp.bfloat16),  # r|z|n residual
+            jax.ShapeDtypeStruct((T, B, Hp), jnp.bfloat16),  # gh_n residual
+        ],
+        scratch_shapes=[pltpu.VMEM((b_blk, Hp), jnp.float32)],
+        interpret=_interpret(),
+    )(gi_p, w_p, b_p, h0_p)
+
+
+# --------------------------------------------------------------------------
+# backward kernel (reverse time sweep)
+# --------------------------------------------------------------------------
+
+def _bwd_kernel(
+    dy_ref, rzn_ref, ghn_ref, hprev_ref, wt_ref, dgi_ref, dgh_ref, dh0_ref, dh_scr
+):
+    K = dy_ref.shape[0]
+    Hp = dh0_ref.shape[1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+
+    dh = dh_scr[:]
+    for k in range(K - 1, -1, -1):
+        dout = dy_ref[k] + dh
+        rzn = rzn_ref[k].astype(jnp.float32)
+        r, z, n = rzn[:, :Hp], rzn[:, Hp : 2 * Hp], rzn[:, 2 * Hp :]
+        ghn = ghn_ref[k].astype(jnp.float32)
+        h_prev = hprev_ref[k].astype(jnp.float32)
+
+        dz = dout * (h_prev - n) * z * (1.0 - z)
+        dn = dout * (1.0 - z) * (1.0 - n * n)
+        dghn = dn * r
+        dr = dn * ghn
+        drpre = dr * r * (1.0 - r)
+        dgi = jnp.concatenate([drpre, dz, dn], axis=-1)
+        dgh = jnp.concatenate([drpre, dz, dghn], axis=-1)
+        dh = dout * z + jnp.dot(
+            dgh.astype(jnp.bfloat16), wt_ref[:], preferred_element_type=jnp.float32
+        )
+        dgi_ref[k] = dgi.astype(jnp.bfloat16)
+        dgh_ref[k] = dgh.astype(jnp.bfloat16)
+    dh_scr[:] = dh
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        dh0_ref[:] = dh_scr[:]
+
+
+def _bwd_call(dy_p, rzn, ghn, hprev_p, wt_p):
+    T, B, Hp = dy_p.shape
+    Gp = 3 * Hp
+    b_blk = _B_BLK if B % _B_BLK == 0 else B
+    K = _time_block(T, Hp, 26 * Hp, b_blk)
+    nB, nT = B // b_blk, T // K
+    rev3 = lambda b, t: (nT - 1 - t, b, 0)
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=(nB, nT),
+        in_specs=[
+            pl.BlockSpec((K, b_blk, Hp), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, b_blk, Gp), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, b_blk, Hp), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, b_blk, Hp), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gp, Hp), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, b_blk, Gp), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, b_blk, Gp), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_blk, Hp), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, Gp), jnp.bfloat16),  # dgi
+            jax.ShapeDtypeStruct((T, B, Gp), jnp.bfloat16),  # dgh
+            jax.ShapeDtypeStruct((B, Hp), jnp.float32),  # dh0
+        ],
+        scratch_shapes=[pltpu.VMEM((b_blk, Hp), jnp.float32)],
+        interpret=_interpret(),
+    )(dy_p, rzn, ghn, hprev_p, wt_p)
+
+
+# --------------------------------------------------------------------------
+# custom-VJP wrapper: gru_layer_scan
+# --------------------------------------------------------------------------
+
+@jax.custom_vjp
+def gru_layer_scan(gi_seq: Array, w_hh: Array, b_hh: Array, h0: Array) -> Array:
+    """Recurrent half of one GRU layer.
+
+    gi_seq: (T, B, 3H) precomputed input gates (x @ W_ih + b_ih)
+    w_hh:   (H, 3H), b_hh: (3H,), h0: (B, H)
+    returns h_seq: (T, B, H) fp32.
+
+    Drop-in replacement for molvax.nn.gru.gru_layer_recurrence (same math,
+    torch gate order r|z|n). B must be a multiple of 128 on TPU (the model
+    configs use 128/256/2048); other sizes fall back in the caller."""
+    h_seq, _ = _fwd_impl(gi_seq, w_hh, b_hh, h0)
+    return h_seq
+
+
+def _fwd_impl(gi_seq, w_hh, b_hh, h0):
+    T, B, G = gi_seq.shape
+    H = G // 3
+    Hp = _round_up(H, 128)
+    gi_p = _pad_gates(gi_seq, H, Hp).astype(jnp.bfloat16)
+    w_p = _pad_gates(_pad_tail(w_hh, 0, Hp), H, Hp).astype(jnp.bfloat16)
+    b_p = _pad_gates(b_hh, H, Hp).astype(jnp.float32)[None, :]
+    h0_p = _pad_tail(h0.astype(jnp.float32), 1, Hp)
+    hseq_p, rzn, ghn = _fwd_call(gi_p, w_p, b_p, h0_p)
+    h_seq = hseq_p[..., :H].astype(jnp.float32)
+    return h_seq, (rzn, ghn, hseq_p, h0_p, w_hh)
+
+
+def _vjp_fwd(gi_seq, w_hh, b_hh, h0):
+    return _fwd_impl(gi_seq, w_hh, b_hh, h0)
+
+
+def _vjp_bwd(res, dY):
+    rzn, ghn, hseq_p, h0_p, w_hh = res
+    H = w_hh.shape[0]
+    T, B, Hp = hseq_p.shape
+    hprev_p = jnp.concatenate(
+        [h0_p[None].astype(jnp.bfloat16), hseq_p[:-1]], axis=0
+    )
+    dy_p = _pad_tail(dY.astype(jnp.float32), 2, Hp)
+    wt_p = jnp.swapaxes(_pad_gates(_pad_tail(w_hh, 0, Hp), H, Hp), 0, 1).astype(
+        jnp.bfloat16
+    )
+
+    dgi_p, dgh_p, dh0_p = _bwd_call(dy_p, rzn, ghn, hprev_p, wt_p)
+
+    # Weight/bias grads: two large GEMM reductions over the whole sequence
+    # (MXU-friendly; outside the kernel so no VMEM accumulators needed).
+    dw_p = jnp.einsum(
+        "tbh,tbg->hg", hprev_p, dgh_p, preferred_element_type=jnp.float32
+    )
+    dw_hh = _unpad_gates(dw_p[:H], H, Hp)
+    db_hh = _unpad_gates(jnp.sum(dgh_p.astype(jnp.float32), axis=(0, 1)), H, Hp)
+    dgi = _unpad_gates(dgi_p, H, Hp).astype(jnp.float32)
+    dh0 = dh0_p[:, :H]
+    return dgi, dw_hh, db_hh, dh0
+
+
+gru_layer_scan.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def pallas_batch_ok(B: int) -> bool:
+    """True if the Pallas recurrence supports this batch size on TPU."""
+    return B % _B_BLK == 0
+
+
+# --------------------------------------------------------------------------
+# full stacked forward (Pallas path used by the decoder)
+# --------------------------------------------------------------------------
+
+def gru_forward_pallas(
+    layers: List,
+    x_seq: Array,
+    h0: Array | None = None,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[Array, Array]:
+    """Drop-in for molvax.nn.gru.gru_forward: hoisted input GEMMs (XLA) +
+    Pallas recurrence per layer. x_seq (B, T, in) -> (out (B, T, H), h_final).
+
+    Falls back to the pure-XLA scan when the batch is not a multiple of the
+    kernel's batch block (e.g. tiny eval batches)."""
+    B, T, _ = x_seq.shape
+    if not _interpret() and not pallas_batch_ok(B):
+        from ..nn.gru import gru_forward
+
+        return gru_forward(layers, x_seq, h0, compute_dtype)
+
+    L = len(layers)
+    H = layers[0]["w_hh"].shape[0]
+    cd = compute_dtype
+    if h0 is None:
+        h0 = jnp.zeros((L, B, H), dtype=jnp.float32)
+
+    inp = x_seq
+    finals = []
+    for li, layer in enumerate(layers):
+        gi = (
+            jnp.dot(
+                inp.astype(cd),
+                layer["w_ih"].astype(cd),
+                preferred_element_type=jnp.float32,
+            )
+            + layer["b_ih"]
+        )  # (B, T, 3H): one large GEMM per layer
+        h_seq = gru_layer_scan(
+            jnp.swapaxes(gi, 0, 1), layer["w_hh"], layer["b_hh"], h0[li]
+        )  # (T, B, H)
+        inp = jnp.swapaxes(h_seq, 0, 1)
+        finals.append(h_seq[-1])
+    return inp, jnp.stack(finals)

@@ -86,6 +86,33 @@ def gru_stack_step(
     return jnp.stack(new_hs), inp
 
 
+def gru_layer_recurrence(
+    layer: Params, gi_seq: Array, h0: Array, compute_dtype=jnp.float32
+) -> Tuple[Array, Array]:
+    """Recurrent half of one GRU layer: gi_seq (T, B, 3H) precomputed input
+    gates -> (h_seq (T, B, H), h_final (B, H)). Only h @ w_hh stays inside
+    the scan. This is the function the Pallas kernel replaces 1:1
+    (molvax/kernels/gru.py)."""
+    H = h0.shape[-1]
+    cd = compute_dtype
+    w_hh = layer["w_hh"].astype(cd)
+    b_hh = layer["b_hh"]
+
+    def step(h, gi_t):
+        gh = (
+            jnp.dot(h.astype(cd), w_hh, preferred_element_type=jnp.float32)
+            + b_hh
+        )
+        r = jax.nn.sigmoid(gi_t[..., :H] + gh[..., :H])
+        z = jax.nn.sigmoid(gi_t[..., H : 2 * H] + gh[..., H : 2 * H])
+        n = jnp.tanh(gi_t[..., 2 * H :] + r * gh[..., 2 * H :])
+        h_new = (1.0 - z) * n + z * h.astype(n.dtype)
+        return h_new, h_new
+
+    h_final, h_seq = jax.lax.scan(step, h0, gi_seq)
+    return h_seq, h_final
+
+
 def gru_forward(
     layers: List[Params],
     x_seq: Array,
@@ -95,8 +122,13 @@ def gru_forward(
     """Full sweep. x_seq: (B, T, in) -> (outputs (B, T, H), h_final (L, B, H)).
 
     Equivalent of ``nn.GRU(batch_first=True)`` forward (SURVEY.md 3.2): time
-    axis becomes the scan axis; teacher-forced training keeps the batch axis
-    fully parallel so the MXU sees (B, 3H) matmuls every step."""
+    axis becomes the scan axis; all layers run fused inside one scan body so
+    XLA keeps every intermediate in registers/VMEM. (The hoisted-input-GEMM
+    variant - one (B*T, in) @ (in, 3H) GEMM per layer with a recurrence-only
+    scan - was measured SLOWER under XLA on v5e: materializing (B, T, 3H)
+    gate sequences in HBM costs more than it saves; the Pallas kernel in
+    molvax/kernels/gru.py uses that structure profitably because the
+    recurrence keeps everything VMEM-resident.)"""
     B = x_seq.shape[0]
     L = len(layers)
     H = layers[0]["w_hh"].shape[0]

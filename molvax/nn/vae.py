@@ -38,6 +38,7 @@ class VAEOutput(NamedTuple):
     logvar: Array  # (B, L)
     z: Array  # (B, L) sampled latent
     properties: Optional[Array] = None  # (B, P) if the head is configured
+    kl: Optional[Array] = None  # (B,) per-sample KL when the fused sampler ran
 
 
 def init_vae_params(key: Array, cfg: ModelConfig) -> Params:
@@ -83,15 +84,36 @@ def decode(
 def forward(
     params: Params, cfg: ModelConfig, key: Array, codes: Array
 ) -> VAEOutput:
-    """Full training-path forward: codes (B, T) -> VAEOutput."""
-    mu, logvar = encode(params, cfg, codes)
-    z = reparameterize(key, mu, logvar, cfg.eps_scale)
+    """Full training-path forward: codes (B, T) -> VAEOutput.
+
+    With ``cfg.use_pallas`` on TPU, the encoder runs as the fused Pallas
+    kernel (one-hot never leaves VMEM) and z/KL come from the fused on-chip
+    sampler (a different - still key-deterministic - noise stream than
+    jax.random.normal; see molvax/kernels/sampler.py)."""
+    kl = None
+    if cfg.use_pallas and _use_pallas_here():
+        from ..kernels.conv_enc import fused_encode
+        from ..kernels.sampler import fused_sample_kl
+
+        mu, logvar = fused_encode(params["encoder"], cfg, codes)
+        z, kl = fused_sample_kl(key, mu, logvar, cfg.eps_scale)
+    else:
+        mu, logvar = encode(params, cfg, codes)
+        z = reparameterize(key, mu, logvar, cfg.eps_scale)
     teacher = codes if cfg.decoder_conditioning == "teacher_forced" else None
     logits = decode(params, cfg, z, teacher)
     props = None
     if cfg.n_properties > 0 and "property_head" in params:
         props = predict_properties(params["property_head"], cfg, z)
-    return VAEOutput(logits=logits, mu=mu, logvar=logvar, z=z, properties=props)
+    return VAEOutput(
+        logits=logits, mu=mu, logvar=logvar, z=z, properties=props, kl=kl
+    )
+
+
+def _use_pallas_here() -> bool:
+    from ..kernels import pallas_enabled
+
+    return pallas_enabled()
 
 
 def param_count(params: Params) -> int:

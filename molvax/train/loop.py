@@ -84,6 +84,7 @@ def make_train_step(cfg: Config):
                 properties_pred=out.properties,
                 properties_true=props,
                 property_loss_weight=cfg.train.property_loss_weight,
+                kl=out.kl,
             )
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -112,6 +113,7 @@ def make_eval_step(cfg: Config):
             properties_pred=out.properties,
             properties_true=props,
             property_loss_weight=cfg.train.property_loss_weight,
+            kl=out.kl,
         )
         return metrics
 
@@ -121,12 +123,18 @@ def make_eval_step(cfg: Config):
 def train(
     cfg: Config,
     dataset: Optional[Dataset] = None,
+    eval_dataset: Optional[Dataset] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
     metrics_path: Optional[str] = None,
     max_steps: Optional[int] = None,
     verbose: bool = True,
 ) -> Tuple[TrainState, list]:
-    """End-to-end training per config. Returns (final state, metric history)."""
+    """End-to-end training per config. Returns (final state, metric history).
+
+    With ``cfg.train.eval_every`` set, a held-out eval (teacher-forced ELBO +
+    recon accuracy, the reference's periodic eval - SURVEY.md 2.9) runs on
+    ``eval_dataset`` (or a split carved from ``dataset``) and logs metrics
+    prefixed ``eval_``."""
     from ..io import checkpoint as ckpt_io
 
     if dataset is None:
@@ -137,12 +145,19 @@ def train(
             seed=cfg.data.seed,
             with_properties=cfg.model.n_properties > 0,
         )
+    if eval_dataset is None and cfg.train.eval_every:
+        dataset, eval_dataset = dataset.split(cfg.data.test_fraction, cfg.data.seed)
     if mesh is None:
         n_dev = len(jax.devices())
-        use = 1
-        while use * 2 <= n_dev and cfg.train.batch_size % (use * 2) == 0:
-            use *= 2
-        mesh = meshlib.make_mesh(devices=jax.devices()[:use])
+        want = cfg.mesh.data_axis * cfg.mesh.model_axis
+        if want > 1 and want <= n_dev and cfg.train.batch_size % cfg.mesh.data_axis == 0:
+            mesh = meshlib.make_mesh(cfg.mesh)
+        else:
+            # auto: largest power-of-two device count dividing the batch
+            use = 1
+            while use * 2 <= n_dev and cfg.train.batch_size % (use * 2) == 0:
+                use *= 2
+            mesh = meshlib.make_mesh(devices=jax.devices()[:use])
 
     it = BatchIterator(
         dataset,
@@ -173,6 +188,18 @@ def train(
         if restored is not None:
             state = restored
 
+    eval_step = None
+    eval_it = None
+    if cfg.train.eval_every and eval_dataset is not None and len(eval_dataset) > 0:
+        eval_step = make_eval_step(cfg)
+        eval_it = BatchIterator(
+            eval_dataset,
+            cfg.train.batch_size,
+            seed=cfg.train.seed + 1,
+            sharding=meshlib.batch_sharding(mesh),
+            with_properties=cfg.model.n_properties > 0,
+        )
+
     history = []
     # Host-side step mirror: avoids a device sync per iteration (the device
     # `state.step` is only read at restore time).
@@ -183,6 +210,16 @@ def train(
         step_now += 1
         if step_now % cfg.train.log_every == 0 or step_now == total_steps:
             history.append(logger.log(step_now, metrics))
+        if eval_step is not None and step_now % cfg.train.eval_every == 0:
+            acc = []
+            for _ in range(cfg.train.eval_batches):
+                e_codes, e_props = next(eval_it)
+                acc.append(eval_step(state, e_codes, e_props))
+            mean = {
+                f"eval_{k}": jnp.mean(jnp.stack([m[k] for m in acc]))
+                for k in acc[0]
+            }
+            history.append(logger.log(step_now, mean))
         if manager is not None and step_now % cfg.train.checkpoint_every == 0:
             ckpt_io.save(manager, step_now, state)
     if manager is not None:

@@ -77,13 +77,16 @@ def vae_loss(
     properties_pred: Optional[Array] = None,
     properties_true: Optional[Array] = None,
     property_loss_weight: float = 1.0,
+    kl: Optional[Array] = None,
 ) -> Tuple[Array, Dict[str, Array]]:
-    """Returns (scalar loss, metrics dict). All metrics are batch means."""
+    """Returns (scalar loss, metrics dict). All metrics are batch means.
+    ``kl`` may be supplied precomputed (fused Pallas sampler path)."""
     if cfg.recon_loss == "ce":
         recon = recon_ce(logits, codes)
     else:
         recon = recon_bce(logits, codes, cfg.charset_size)
-    kl = gaussian_kl(mu, logvar)
+    if kl is None:
+        kl = gaussian_kl(mu, logvar)
     elbo_terms = recon + beta * kl
     loss = jnp.mean(elbo_terms)
 

@@ -1,0 +1,59 @@
+"""Debug guards (SURVEY.md 5.2).
+
+The reference is single-threaded Python, so race detection is moot; the
+JAX-native hazards are NaNs from fp16-ish policies and tracer leaks. These
+helpers wrap the idiomatic guards:
+
+  * debug_mode(): context manager enabling jax_debug_nans (every primitive
+    output NaN-checked, fails at the emitting op) and jax_check_tracer_leaks.
+  * assert_finite(tree, name): chex-style in-jit finiteness check on a pytree
+    (uses jax.debug so it works inside compiled code; dev builds only - it
+    syncs, so never leave it in the hot path).
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def debug_mode(nans: bool = True, tracer_leaks: bool = False):
+    """with debug_mode(): train(...)  # fail fast at the first NaN."""
+    prev_nans = jax.config.jax_debug_nans
+    prev_leaks = jax.config.jax_check_tracer_leaks
+    try:
+        jax.config.update("jax_debug_nans", nans)
+        jax.config.update("jax_check_tracer_leaks", tracer_leaks)
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", prev_nans)
+        jax.config.update("jax_check_tracer_leaks", prev_leaks)
+
+
+def assert_finite(tree, name: str = "tree") -> None:
+    """In-jit check that every leaf is finite (checkify.check under the
+    hood: traced, raises on the host once errors propagate). Dev-only."""
+    from jax.experimental import checkify
+
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        label = name + jax.tree_util.keystr(path)
+        ok = jnp.all(jnp.isfinite(leaf))
+        checkify.check(ok, f"non-finite values in {label}")
+
+
+def checked(fn):
+    """Wrap a jittable fn so assert_finite/checkify.check failures raise:
+    `loss, = molvax.utils.checked(step)(...)`."""
+    from jax.experimental import checkify
+
+    cf = checkify.checkify(fn)
+
+    def wrapper(*args, **kwargs):
+        err, out = cf(*args, **kwargs)
+        checkify.check_error(err)
+        return out
+
+    return wrapper

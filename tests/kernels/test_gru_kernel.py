@@ -1,0 +1,105 @@
+"""Pallas GRU kernel vs the jnp reference (SURVEY.md 4.3): interpret mode on
+CPU must match gru_layer_recurrence / gru_forward closely in fp32, including
+gradients through the custom VJP."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from molvax.kernels.gru import gru_forward_pallas, gru_layer_scan
+from molvax.nn.gru import (
+    gru_forward,
+    gru_layer_recurrence,
+    init_gru_params,
+)
+
+# bf16 matmuls inside the kernel vs fp32 reference: tolerance reflects the
+# bf16 mantissa over a T-step recurrence.
+ATOL = 5e-2
+RTOL = 5e-2
+
+
+def _layer(key, in_size, H):
+    return init_gru_params(key, in_size, H, 1)[0]
+
+
+@pytest.mark.parametrize("B,T,H", [(8, 12, 12), (16, 7, 130)])
+def test_layer_scan_matches_reference(B, T, H):
+    key = jax.random.key(0)
+    layer = _layer(key, H, H)
+    gi = jax.random.normal(jax.random.key(1), (T, B, 3 * H))
+    h0 = jax.random.normal(jax.random.key(2), (B, H)) * 0.1
+
+    h_seq_ref, h_final_ref = gru_layer_recurrence(layer, gi, h0)
+    h_seq_k = gru_layer_scan(gi, layer["w_hh"], layer["b_hh"], h0)
+
+    assert h_seq_k.shape == (T, B, H)
+    np.testing.assert_allclose(
+        np.asarray(h_seq_k), np.asarray(h_seq_ref), atol=ATOL, rtol=RTOL
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_seq_k[-1]), np.asarray(h_final_ref), atol=ATOL, rtol=RTOL
+    )
+
+
+def test_layer_scan_gradients_match():
+    B, T, H = 8, 10, 12
+    layer = _layer(jax.random.key(0), H, H)
+    gi = jax.random.normal(jax.random.key(1), (T, B, 3 * H))
+    h0 = jnp.zeros((B, H))
+
+    def loss_ref(gi, w, b, h0):
+        h_seq, _ = gru_layer_recurrence({"w_hh": w, "b_hh": b}, gi, h0)
+        return jnp.sum(jnp.sin(h_seq))
+
+    def loss_k(gi, w, b, h0):
+        return jnp.sum(jnp.sin(gru_layer_scan(gi, w, b, h0)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(gi, layer["w_hh"], layer["b_hh"], h0)
+    g_k = jax.grad(loss_k, argnums=(0, 1, 2, 3))(gi, layer["w_hh"], layer["b_hh"], h0)
+    names = ["dgi", "dw_hh", "db_hh", "dh0"]
+    for name, a, b in zip(names, g_ref, g_k):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=ATOL, rtol=0.1, err_msg=name
+        )
+
+
+def test_forward_pallas_matches_gru_forward():
+    B, T, I, H, L = 8, 9, 10, 12, 3
+    layers = init_gru_params(jax.random.key(0), I, H, L)
+    x_seq = jax.random.normal(jax.random.key(1), (B, T, I))
+
+    out_ref, hf_ref = gru_forward(layers, x_seq)
+    out_k, hf_k = gru_forward_pallas(layers, x_seq)
+    assert out_k.shape == out_ref.shape
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_ref), atol=ATOL, rtol=RTOL)
+    np.testing.assert_allclose(np.asarray(hf_k), np.asarray(hf_ref), atol=ATOL, rtol=RTOL)
+
+
+def test_forward_pallas_grads_match():
+    B, T, I, H, L = 4, 6, 8, 12, 2
+    layers = init_gru_params(jax.random.key(0), I, H, L)
+    x_seq = jax.random.normal(jax.random.key(1), (B, T, I))
+
+    def loss(fwd, layers, x):
+        out, _ = fwd(layers, x)
+        return jnp.mean(out**2)
+
+    g_ref = jax.grad(functools.partial(loss, gru_forward))(layers, x_seq)
+    g_k = jax.grad(functools.partial(loss, gru_forward_pallas))(layers, x_seq)
+    for (pa, pb) in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_k)):
+        np.testing.assert_allclose(np.asarray(pb), np.asarray(pa), atol=ATOL, rtol=0.1)
+
+
+def test_jit_and_unaligned_h():
+    """H=501 (the reference width) exercises the per-gate lane padding."""
+    B, T, H = 4, 5, 501
+    layer = _layer(jax.random.key(0), H, H)
+    gi = jax.random.normal(jax.random.key(1), (T, B, 3 * H)) * 0.5
+    h0 = jnp.zeros((B, H))
+    h_ref, _ = gru_layer_recurrence(layer, gi, h0)
+    h_k = jax.jit(gru_layer_scan)(gi, layer["w_hh"], layer["b_hh"], h0)
+    np.testing.assert_allclose(np.asarray(h_k), np.asarray(h_ref), atol=ATOL, rtol=RTOL)

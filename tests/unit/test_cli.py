@@ -1,0 +1,84 @@
+import json
+import sys
+
+import pytest
+
+from molvax.cli import main
+
+
+def test_presets_command(capsys):
+    assert main(["presets"]) == 0
+    out = capsys.readouterr().out
+    for name in ("chemvae_5k", "zinc250k", "property_joint", "moses_scaled"):
+        assert name in out
+
+
+def test_train_tiny_and_sample(tmp_path, capsys):
+    ckpt = str(tmp_path / "ck")
+    metrics = str(tmp_path / "m.jsonl")
+    rc = main(
+        [
+            "train",
+            "--preset",
+            "chemvae_5k",
+            "--override",
+            "data.n_synthetic=64",
+            "--override",
+            "model.max_len=32",
+            "--override",
+            "data.max_len=32",
+            "--override",
+            "model.latent_dim=12",
+            "--override",
+            "model.enc_hidden=16",
+            "--override",
+            "model.gru_hidden=16",
+            "--override",
+            "model.gru_layers=1",
+            "--override",
+            "train.batch_size=16",
+            "--override",
+            f"train.checkpoint_dir={ckpt}",
+            "--override",
+            "train.log_every=5",
+            "--steps",
+            "10",
+            "--metrics",
+            metrics,
+            "--quiet",
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in open(metrics)]
+    assert lines and lines[-1]["step"] == 10
+    capsys.readouterr()  # flush the train summary line
+
+    overrides = [
+        "--override", "model.max_len=32",
+        "--override", "model.latent_dim=12",
+        "--override", "model.enc_hidden=16",
+        "--override", "model.gru_hidden=16",
+        "--override", "model.gru_layers=1",
+    ]
+    rc = main(["sample", "--ckpt", ckpt, "-n", "3"] + overrides)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert len(out.strip().splitlines()) == 3
+
+    rc = main(["reconstruct", "--ckpt", ckpt, "CCO"] + overrides)
+    assert rc == 0
+    assert capsys.readouterr().out.startswith("CCO\t")
+
+    rc = main(["interpolate", "--ckpt", ckpt, "CCO", "CCN", "-n", "4"] + overrides)
+    assert rc == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 4
+
+
+def test_bad_override():
+    with pytest.raises(SystemExit):
+        main(["train", "--override", "nokey", "--steps", "1"])
+
+
+def test_missing_ckpt():
+    with pytest.raises(SystemExit):
+        main(["sample", "--ckpt", "/tmp/definitely/missing", "-n", "1"])
