@@ -51,34 +51,41 @@ def measure_torch_cpu(codes: np.ndarray, charset_size: int, batch: int = 64, ste
     return batch * steps / dt
 
 
-def measure_molvax(codes: np.ndarray, charset_size: int, batch: int = 256, steps: int = 20) -> float:
-    """molvax jitted train step on the default backend (TPU when attached)."""
+def measure_molvax(codes: np.ndarray, charset_size: int, batch: int = 256, steps: int = 48) -> float:
+    """molvax production trainer (Pallas kernels + fused multi-step chunks)
+    on the default backend (TPU when attached)."""
     import jax
 
     from molvax.config import zinc250k
-    from molvax.parallel import make_mesh, replicate, shard_batch
-    from molvax.train import init_state, make_train_step
+    from molvax.parallel import make_mesh, replicate, stacked_batch_sharding
+    from molvax.train import init_state
+    from molvax.train.loop import make_train_chunk
 
-    cfg = zinc250k()
+    cfg = zinc250k()  # chunk-8, bf16, use_pallas (the production preset)
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(cfg.model, charset_size=charset_size),
         train=dataclasses.replace(cfg.train, batch_size=batch),
     )
+    K = cfg.train.train_chunk_size
     mesh = make_mesh(devices=jax.devices()[:1])
     state = replicate(mesh, init_state(cfg))
-    step = make_train_step(cfg)
+    chunk_fn = make_train_chunk(cfg, K)
+    sh = stacked_batch_sharding(mesh)
 
     n = codes.shape[0]
-    batches = [
-        shard_batch(mesh, codes[(i * batch) % (n - batch) : (i * batch) % (n - batch) + batch])
-        for i in range(steps)
-    ]
-    # warmup: compile + two hot runs, fully drained to host
-    state, m = step(state, batches[0], None)
-    float(np.asarray(m["loss"]))
-    state, m = step(state, batches[1], None)
-    float(np.asarray(m["loss"]))
+    n_chunks = steps // K
+    stacks = []
+    for i in range(n_chunks):
+        lo = (i * K * batch) % max(n - K * batch, 1)
+        stacks.append(
+            jax.device_put(
+                codes[lo : lo + K * batch].reshape(K, batch, codes.shape[1]), sh
+            )
+        )
+    # warmup: compile + one hot run, fully drained to host
+    state, m = chunk_fn(state, stacks[0], None)
+    float(np.asarray(m["loss"][-1]))
 
     # The axon PJRT tunnel resolves readiness events optimistically on the
     # first dispatch burst, so a single block_until_ready under-measures.
@@ -88,11 +95,11 @@ def measure_molvax(codes: np.ndarray, charset_size: int, batch: int = 256, steps
     rates = []
     for _ in range(4):
         t0 = time.perf_counter()
-        for i in range(steps):
-            state, m = step(state, batches[i], None)
-        float(np.asarray(m["loss"]))
+        for i in range(n_chunks):
+            state, m = chunk_fn(state, stacks[i], None)
+        float(np.asarray(m["loss"][-1]))
         dt = time.perf_counter() - t0
-        rates.append(batch * steps / dt)
+        rates.append(batch * K * n_chunks / dt)
     return float(np.median(rates[1:]))
 
 

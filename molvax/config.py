@@ -67,6 +67,7 @@ class TrainConfig:
     kl: KLScheduleConfig = KLScheduleConfig()
     property_loss_weight: float = 1.0
     grad_clip_norm: Optional[float] = None
+    train_chunk_size: int = 1  # optimizer steps fused per device program
     log_every: int = 50
     eval_every: int = 0  # steps between held-out evals (0 = off)
     eval_batches: int = 4  # batches per eval pass
@@ -137,6 +138,7 @@ def zinc250k() -> Config:
         train=TrainConfig(
             batch_size=256,
             epochs=50,
+            train_chunk_size=8,
             kl=KLScheduleConfig(kind="cyclical", cycle_steps=8000, ratio=0.5),
         ),
         data=DataConfig(n_synthetic=250_000),
@@ -169,6 +171,7 @@ def moses_scaled() -> Config:
         train=TrainConfig(
             batch_size=2048,  # global; 256/chip on v5e-8
             epochs=10,
+            train_chunk_size=8,
             kl=KLScheduleConfig(kind="cyclical", cycle_steps=20000),
         ),
         data=DataConfig(n_synthetic=1_900_000),

@@ -81,3 +81,21 @@ class BatchIterator:
             if props is not None:
                 props = jax.device_put(props)
         return codes, props
+
+    def next_stack(
+        self, k: int, stacked_sharding: Optional[jax.sharding.Sharding] = None
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        """k batches stacked to (k, B, T) for the fused multi-step trainer
+        (train.loop.make_train_chunk): ONE host->device transfer per k steps.
+        Batch axis is axis 1, so pass a (None, 'data') sharding."""
+        idxs = [self._next_indices() for _ in range(k)]
+        codes = np.stack([self.dataset.codes[i] for i in idxs])
+        props = (
+            np.stack([self.dataset.properties[i] for i in idxs])
+            if self.with_properties
+            else None
+        )
+        codes = jax.device_put(codes, stacked_sharding)
+        if props is not None:
+            props = jax.device_put(props, stacked_sharding)
+        return codes, props

@@ -59,6 +59,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """(chunk, B, ...) stacks: batch (axis 1) split over 'data'."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def shard_batch(mesh: Mesh, *arrays):
     sh = batch_sharding(mesh)
     out = tuple(None if a is None else jax.device_put(a, sh) for a in arrays)

@@ -96,6 +96,51 @@ def make_train_step(cfg: Config):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_train_chunk(cfg: Config, chunk: int):
+    """Fused multi-step trainer: ONE compiled program runs `chunk` optimizer
+    steps via lax.scan over a stacked batch (chunk, B, T).
+
+    Rationale: host->device dispatch has fixed per-call latency (severe on
+    remote PJRT tunnels like this dev box's axon link; nonzero everywhere).
+    Scanning K steps inside one program amortizes it K-fold and lets XLA
+    keep params/optimizer state pinned without host round-trips. Metrics
+    come back stacked (chunk, ...) so logging granularity is preserved."""
+    mcfg = cfg.model
+    optimizer = make_optimizer(cfg)
+
+    def one_step(state: TrainState, batch):
+        codes, props = batch
+        step_key = jax.random.fold_in(state.base_key, state.step)
+        beta = beta_at(cfg.train.kl, state.step)
+
+        def loss_fn(params):
+            out = vae.forward(params, mcfg, step_key, codes)
+            return vae_loss(
+                mcfg,
+                out.logits,
+                codes.astype(jnp.int32),
+                out.mu,
+                out.logvar,
+                beta,
+                properties_pred=out.properties,
+                properties_true=props,
+                property_loss_weight=cfg.train.property_loss_weight,
+                kl=out.kl,
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1, state.base_key), metrics
+
+    def train_chunk(state: TrainState, codes_stack, props_stack):
+        # codes_stack: (chunk, B, T); props_stack: (chunk, B, P) or None
+        batches = (codes_stack, props_stack)
+        return jax.lax.scan(one_step, state, batches)
+
+    return jax.jit(train_chunk, donate_argnums=(0,))
+
+
 def make_eval_step(cfg: Config):
     """Teacher-forced eval: fixed key, no optimizer."""
     mcfg = cfg.model
@@ -200,17 +245,31 @@ def train(
             with_properties=cfg.model.n_properties > 0,
         )
 
+    chunk = max(1, cfg.train.train_chunk_size)
+    train_chunk = make_train_chunk(cfg, chunk) if chunk > 1 else None
+    stacked_sh = meshlib.stacked_batch_sharding(mesh)
+
     history = []
     # Host-side step mirror: avoids a device sync per iteration (the device
     # `state.step` is only read at restore time).
     step_now = int(jax.device_get(state.step))
     while step_now < total_steps:
-        codes, props = next(it)
-        state, metrics = train_step(state, codes, props)
-        step_now += 1
-        if step_now % cfg.train.log_every == 0 or step_now == total_steps:
+        if train_chunk is not None and step_now + chunk <= total_steps:
+            codes_stack, props_stack = it.next_stack(chunk, stacked_sh)
+            state, stacked = train_chunk(state, codes_stack, props_stack)
+            metrics = jax.tree.map(lambda x: x[-1], stacked)
+            step_now += chunk
+        else:
+            codes, props = next(it)
+            state, metrics = train_step(state, codes, props)
+            step_now += 1
+        if (
+            step_now % cfg.train.log_every < (chunk if train_chunk is not None else 1)
+            or step_now == total_steps
+        ):
             history.append(logger.log(step_now, metrics))
-        if eval_step is not None and step_now % cfg.train.eval_every == 0:
+        stride = chunk if train_chunk is not None else 1
+        if eval_step is not None and step_now % cfg.train.eval_every < stride:
             acc = []
             for _ in range(cfg.train.eval_batches):
                 e_codes, e_props = next(eval_it)
@@ -220,7 +279,7 @@ def train(
                 for k in acc[0]
             }
             history.append(logger.log(step_now, mean))
-        if manager is not None and step_now % cfg.train.checkpoint_every == 0:
+        if manager is not None and step_now % cfg.train.checkpoint_every < stride:
             ckpt_io.save(manager, step_now, state)
     if manager is not None:
         ckpt_io.save(manager, step_now, state)
