@@ -115,6 +115,26 @@ def cmd_reconstruct(args) -> int:
     return 0
 
 
+def cmd_evaluate(args) -> int:
+    import json
+
+    from .data import load_dataset
+    from .train.evaluate import evaluate
+
+    cfg = _load_cfg(args)
+    state = _restore(cfg, args.ckpt)
+    dataset = load_dataset(
+        cfg.data.source,
+        max_len=cfg.data.max_len,
+        synthetic_n=cfg.data.n_synthetic,
+        seed=cfg.data.seed,
+        with_properties=cfg.model.n_properties > 0,
+    )
+    report = evaluate(state, cfg, dataset, n_prior=args.n_prior)
+    print(json.dumps({k: round(v, 5) for k, v in report.items()}, sort_keys=True))
+    return 0
+
+
 def cmd_presets(args) -> int:
     for name, fn in PRESETS.items():
         print(f"{name}: {fn.__doc__.strip().splitlines()[0]}")
@@ -180,6 +200,14 @@ def main(argv=None) -> int:
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("smiles", nargs="+")
     sp.set_defaults(fn=cmd_reconstruct)
+
+    sp = sub.add_parser(
+        "evaluate", help="headline metrics: ELBO/acc, sample quality, round trip"
+    )
+    common(sp)
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--n-prior", type=int, default=1000)
+    sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser("presets", help="list named presets")
     sp.set_defaults(fn=cmd_presets)

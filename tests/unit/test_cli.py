@@ -73,6 +73,16 @@ def test_train_tiny_and_sample(tmp_path, capsys):
     assert rc == 0
     assert len(capsys.readouterr().out.strip().splitlines()) == 4
 
+    rc = main(
+        ["evaluate", "--ckpt", ckpt, "--n-prior", "8"]
+        + overrides
+        + ["--override", "data.n_synthetic=64", "--override", "data.max_len=32",
+           "--override", "train.batch_size=16"]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert "gen_valid" in report and "recon_char_acc" in report
+
 
 def test_bad_override():
     with pytest.raises(SystemExit):

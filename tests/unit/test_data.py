@@ -109,3 +109,24 @@ def test_batch_iterator_tiles_small_dataset():
     it = BatchIterator(ds, batch_size=16, seed=0)
     codes, _ = next(it)
     assert codes.shape == (16, 120)
+
+
+def test_export_h5_roundtrip(tmp_path):
+    """export_h5 emits the chemvae layout; load_h5 round-trips it."""
+    from molvax.data import export_h5
+
+    ds = synthetic_dataset(30, max_len=40, seed=5)
+    p = str(tmp_path / "export.h5")
+    export_h5(ds, p, test_fraction=0.2, seed=0)
+    import h5py
+
+    with h5py.File(p) as f:
+        assert set(f.keys()) == {"data_train", "data_test", "charset"}
+        assert f["data_train"].shape[1:] == (40, ds.charset.size)
+        assert f["data_train"].dtype == np.float32
+    back = load_h5(p, "data_train")
+    assert back.charset.chars == ds.charset.chars
+    assert back.codes.shape == (24, 40)
+    # every exported row decodes to a string from the source set
+    src = set(decode_codes(ds.codes, ds.charset))
+    assert set(decode_codes(back.codes, back.charset)) <= src
