@@ -61,7 +61,7 @@ def measure_molvax(codes: np.ndarray, charset_size: int, batch: int = 256, steps
     from molvax.train import init_state
     from molvax.train.loop import make_train_chunk
 
-    cfg = zinc250k()  # chunk-8, bf16, use_pallas (the production preset)
+    cfg = zinc250k()  # chunked, bf16, use_pallas (the production preset)
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(cfg.model, charset_size=charset_size),

@@ -144,7 +144,7 @@ def zinc250k() -> Config:
         train=TrainConfig(
             batch_size=256,
             epochs=50,
-            train_chunk_size=8,
+            train_chunk_size=16,
             kl=KLScheduleConfig(kind="cyclical", cycle_steps=8000, ratio=0.5),
         ),
         data=DataConfig(n_synthetic=250_000),
@@ -177,7 +177,7 @@ def moses_scaled() -> Config:
         train=TrainConfig(
             batch_size=2048,  # global; 256/chip on v5e-8
             epochs=10,
-            train_chunk_size=8,
+            train_chunk_size=16,
             kl=KLScheduleConfig(kind="cyclical", cycle_steps=20000),
         ),
         data=DataConfig(n_synthetic=1_900_000),
