@@ -56,16 +56,34 @@ def cmd_train(args) -> int:
 
 
 def _restore(cfg: Config, ckpt_dir: str):
-    import jax
+    """Restore (cfg, state, charset) from a checkpoint dir. The charset the
+    model was trained on is recorded as charset.json by train(); decoding
+    with any other table would emit garbage strings, and a corpus-derived
+    charset may differ in size from the preset's default (the state template
+    must match the trained shapes)."""
+    import dataclasses
+    import json
+    import os
 
+    from .data import DEFAULT_CHARSET, Charset
     from .io import checkpoint as ckpt_io
     from .train import init_state
 
+    charset = DEFAULT_CHARSET
+    cs_path = os.path.join(ckpt_dir, "charset.json")
+    if os.path.exists(cs_path):
+        with open(cs_path) as f:
+            charset = Charset(chars=tuple(json.load(f)))
+    if charset.size != cfg.model.charset_size:
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, charset_size=charset.size),
+        )
     manager = ckpt_io.make_manager(ckpt_dir)
     state = ckpt_io.restore_latest(manager, init_state(cfg))
     if state is None:
         raise SystemExit(f"no checkpoint found in {ckpt_dir}")
-    return state
+    return cfg, state, charset
 
 
 def cmd_sample(args) -> int:
@@ -75,12 +93,13 @@ def cmd_sample(args) -> int:
     from .latent import sample_prior
 
     cfg = _load_cfg(args)
-    state = _restore(cfg, args.ckpt)
+    cfg, state, charset = _restore(cfg, args.ckpt)
     smiles = sample_prior(
         state.params,
         cfg.model,
         args.n,
         jax.random.key(args.seed),
+        charset=charset,
         greedy=not args.stochastic,
         temperature=args.temperature,
     )
@@ -94,9 +113,10 @@ def cmd_interpolate(args) -> int:
     from .latent import interpolate
 
     cfg = _load_cfg(args)
-    state = _restore(cfg, args.ckpt)
+    cfg, state, charset = _restore(cfg, args.ckpt)
     for s in interpolate(
-        state.params, cfg.model, args.start, args.end, steps=args.n
+        state.params, cfg.model, args.start, args.end, steps=args.n,
+        charset=charset,
     ):
         print(s)
     return 0
@@ -108,8 +128,11 @@ def cmd_reconstruct(args) -> int:
     from .latent import reconstruct
 
     cfg = _load_cfg(args)
-    state = _restore(cfg, args.ckpt)
-    out = reconstruct(state.params, cfg.model, args.smiles, jax.random.key(args.seed))
+    cfg, state, charset = _restore(cfg, args.ckpt)
+    out = reconstruct(
+        state.params, cfg.model, args.smiles, jax.random.key(args.seed),
+        charset=charset,
+    )
     for inp, rec in zip(args.smiles, out):
         print(f"{inp}\t{rec}")
     return 0
@@ -122,7 +145,7 @@ def cmd_evaluate(args) -> int:
     from .train.evaluate import evaluate
 
     cfg = _load_cfg(args)
-    state = _restore(cfg, args.ckpt)
+    cfg, state, charset = _restore(cfg, args.ckpt)
     dataset = load_dataset(
         cfg.data.source,
         max_len=cfg.data.max_len,

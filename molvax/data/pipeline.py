@@ -56,6 +56,13 @@ class BatchIterator:
         self.epoch = 0
         self.steps_per_epoch = len(dataset) // batch_size
 
+    def fast_forward(self, n_batches: int) -> None:
+        """Advance the (deterministic) shuffle position by n_batches without
+        touching data - used on checkpoint resume so the replayed run sees
+        exactly the batches an uninterrupted run would have seen."""
+        for _ in range(n_batches):
+            self._next_indices()
+
     def _next_indices(self) -> np.ndarray:
         if self._pos + self.batch_size > len(self._perm):
             self._perm = self._rng.permutation(len(self.dataset))

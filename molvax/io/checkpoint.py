@@ -48,19 +48,9 @@ def restore_latest(manager: ocp.CheckpointManager, abstract_state) -> Optional[A
         return None
     template = _to_savable(abstract_state)
     restored = manager.restore(step, args=ocp.args.StandardRestore(template))
-
-    # Re-wrap key data into typed PRNG keys where the template had them.
-    def unconv(tmpl, x):
-        if isinstance(tmpl, jax.Array) and jax.dtypes.issubdtype(
-            tmpl.dtype, jax.dtypes.prng_key
-        ):
-            return x
-        return x
-
-    out = jax.tree.map(unconv, template, restored)
-    # base_key round-trip: template leaf was key_data; rebuild typed keys at
-    # the same treedef positions as the original abstract_state.
-    return _rewrap_keys(abstract_state, out)
+    # Re-wrap raw key data into typed PRNG keys at the treedef positions
+    # where the original state had them.
+    return _rewrap_keys(abstract_state, restored)
 
 
 def _rewrap_keys(abstract_state, restored):

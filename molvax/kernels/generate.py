@@ -54,9 +54,10 @@ def generation_kernel_supported(cfg: ModelConfig, batch: int) -> bool:
         return False
     Hp = _round_up(cfg.gru_hidden, 128)
     Gp = 3 * Hp
-    wb = 2 * (128 * Gp + Hp * Gp)  # layer 1: W_c + W_hh
+    Cp = _round_up(cfg.charset_size, 128)
+    wb = 2 * (Cp * Gp + Hp * Gp)  # layer 1: W_c + W_hh
     wb += 2 * (Hp * Gp + Hp * Gp) * (cfg.gru_layers - 1)
-    wb += 2 * Hp * 128  # output head
+    wb += 2 * Hp * Cp  # output head
     return wb <= _WEIGHT_BUDGET
 
 

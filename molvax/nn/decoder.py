@@ -104,11 +104,6 @@ def decode(
 
 
 def _pallas_available() -> bool:
-    import importlib.util
+    from ..kernels import pallas_enabled
 
-    import jax
-
-    return (
-        jax.default_backend() == "tpu"
-        and importlib.util.find_spec("molvax.kernels.gru") is not None
-    )
+    return pallas_enabled()

@@ -19,6 +19,7 @@ import numpy as np
 from ..config import Config
 from ..data.charset import Charset, DEFAULT_CHARSET
 from ..data.featurize import decode_codes, valid_fraction
+from ..data.native import decode_codes_native
 from ..data.zinc import Dataset
 from ..latent.sample import generate
 from ..nn import vae
@@ -55,11 +56,13 @@ def generation_metrics(
     key: Array,
     n: int = 1000,
     train_dataset: Optional[Dataset] = None,
-    charset: Charset = DEFAULT_CHARSET,
+    charset: Optional[Charset] = None,
     temperature: float = 1.0,
 ) -> Dict[str, float]:
     """MOSES-style sample quality from the prior: validity (grammar),
     uniqueness among valid, novelty vs the training corpus, mean length."""
+    if charset is None:
+        charset = train_dataset.charset if train_dataset is not None else DEFAULT_CHARSET
     k_z, k_g = jax.random.split(key)
     z = jax.random.normal(k_z, (n, cfg.model.latent_dim), jnp.float32)
     codes, _ = generate(
@@ -71,7 +74,11 @@ def generation_metrics(
     uniq = len(set(nonempty)) / max(len(nonempty), 1)
     novelty = 1.0
     if train_dataset is not None:
-        train_set = set(decode_codes(train_dataset.codes[: min(len(train_dataset), 50000)], charset))
+        train_set = set(
+            decode_codes_native(
+                train_dataset.codes[: min(len(train_dataset), 50000)], charset
+            )
+        )
         novel = [s for s in set(nonempty) if s not in train_set]
         novelty = len(novel) / max(len(set(nonempty)), 1)
     return {
@@ -88,11 +95,12 @@ def reconstruction_metrics(
     dataset: Dataset,
     key: Array,
     n: int = 256,
-    charset: Charset = DEFAULT_CHARSET,
+    charset: Optional[Charset] = None,
 ) -> Dict[str, float]:
     """Free-running round trip (encode -> z=mu -> greedy decode): exact-match
     string rate and per-char accuracy. Stricter than the teacher-forced
     target - the decoder consumes its own samples."""
+    charset = charset or dataset.charset
     codes = jnp.asarray(dataset.codes[:n])
     mu, _ = vae.encode(params, cfg.model, codes)
     out_codes, _ = generate(params, cfg.model, mu, key, greedy=True)

@@ -182,6 +182,9 @@ def train(
     prefixed ``eval_``."""
     from ..io import checkpoint as ckpt_io
 
+    import dataclasses
+    import sys as _sys
+
     if dataset is None:
         dataset = load_dataset(
             cfg.data.source,
@@ -189,6 +192,21 @@ def train(
             synthetic_n=cfg.data.n_synthetic,
             seed=cfg.data.seed,
             with_properties=cfg.model.n_properties > 0,
+        )
+    # Reconcile the model's charset width with the data's: a corpus-derived
+    # charset (e.g. a .smi/.h5 source) may differ from DEFAULT_CHARSET, and a
+    # silent mismatch would one-hot out-of-range codes to all-zero rows.
+    if dataset.charset.size != cfg.model.charset_size:
+        print(
+            f"[molvax] adapting model.charset_size "
+            f"{cfg.model.charset_size} -> {dataset.charset.size} (dataset charset)",
+            file=_sys.stderr,
+        )
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model, charset_size=dataset.charset.size
+            ),
         )
     if eval_dataset is None and cfg.train.eval_every:
         dataset, eval_dataset = dataset.split(cfg.data.test_fraction, cfg.data.seed)
@@ -229,6 +247,16 @@ def train(
         manager = ckpt_io.make_manager(
             cfg.train.checkpoint_dir, keep=cfg.train.keep_checkpoints
         )
+        # Record the training charset next to the checkpoints so inference
+        # entry points (CLI sample/evaluate) decode with the exact table the
+        # model was trained on.
+        import json
+        import os
+
+        with open(
+            os.path.join(cfg.train.checkpoint_dir, "charset.json"), "w"
+        ) as f:
+            json.dump(list(dataset.charset.chars), f)
         restored = ckpt_io.restore_latest(manager, state)
         if restored is not None:
             state = restored
@@ -253,6 +281,10 @@ def train(
     # Host-side step mirror: avoids a device sync per iteration (the device
     # `state.step` is only read at restore time).
     step_now = int(jax.device_get(state.step))
+    if step_now > 0:
+        # resume: replay the deterministic shuffle so the data order matches
+        # an uninterrupted run (one batch consumed per optimizer step)
+        it.fast_forward(step_now)
     while step_now < total_steps:
         if train_chunk is not None and step_now + chunk <= total_steps:
             codes_stack, props_stack = it.next_stack(chunk, stacked_sh)
@@ -263,7 +295,7 @@ def train(
             codes, props = next(it)
             state, metrics = train_step(state, codes, props)
             step_now += 1
-        if (
+        if cfg.train.log_every > 0 and (
             step_now % cfg.train.log_every < (chunk if train_chunk is not None else 1)
             or step_now == total_steps
         ):
@@ -279,7 +311,11 @@ def train(
                 for k in acc[0]
             }
             history.append(logger.log(step_now, mean))
-        if manager is not None and step_now % cfg.train.checkpoint_every < stride:
+        if (
+            manager is not None
+            and cfg.train.checkpoint_every > 0
+            and step_now % cfg.train.checkpoint_every < stride
+        ):
             ckpt_io.save(manager, step_now, state)
     if manager is not None:
         ckpt_io.save(manager, step_now, state)
