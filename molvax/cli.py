@@ -158,6 +158,42 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_optimize(args) -> int:
+    """Gradient-based property optimization in z (BASELINE.json:11)."""
+    import jax
+
+    from .latent import optimize_from_smiles
+    from .latent.optimize import default_objective
+
+    cfg = _load_cfg(args)
+    cfg, state, charset = _restore(cfg, args.ckpt)
+    if cfg.model.n_properties == 0:
+        raise SystemExit(
+            "checkpoint has no property head; train with model.n_properties>0 "
+            "(e.g. --preset property_joint)"
+        )
+    objective = default_objective(
+        cfg.model, property_index=args.property, sign=-1.0 if args.minimize else 1.0
+    )
+    out, result = optimize_from_smiles(
+        state.params,
+        cfg.model,
+        args.smiles,
+        jax.random.key(args.seed),
+        objective=objective,
+        steps=args.steps,
+        lr=args.lr,
+        charset=charset,
+    )
+    import numpy as np
+
+    start = np.asarray(result.trajectory[0])
+    end = np.asarray(result.objective)
+    for s_in, s_out, o0, o1 in zip(args.smiles, out, start, end):
+        print(f"{s_in}\t{s_out}\t{o0:.4f}->{o1:.4f}")
+    return 0
+
+
 def cmd_presets(args) -> int:
     for name, fn in PRESETS.items():
         print(f"{name}: {fn.__doc__.strip().splitlines()[0]}")
@@ -231,6 +267,19 @@ def main(argv=None) -> int:
     sp.add_argument("--ckpt", required=True)
     sp.add_argument("--n-prior", type=int, default=1000)
     sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser(
+        "optimize", help="gradient-ascend a property in latent space"
+    )
+    common(sp)
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--property", type=int, default=0, help="property index (0=logP)")
+    sp.add_argument("--minimize", action="store_true")
+    sp.add_argument("--steps", type=int, default=100)
+    sp.add_argument("--lr", type=float, default=0.05)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("smiles", nargs="+")
+    sp.set_defaults(fn=cmd_optimize)
 
     sp = sub.add_parser("presets", help="list named presets")
     sp.set_defaults(fn=cmd_presets)

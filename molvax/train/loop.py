@@ -277,6 +277,24 @@ def train(
     train_chunk = make_train_chunk(cfg, chunk) if chunk > 1 else None
     stacked_sh = meshlib.stacked_batch_sharding(mesh)
 
+    # Preemption safety (SURVEY.md 5.3): on SIGTERM/SIGINT finish the current
+    # step, checkpoint, and return cleanly; the next run resumes exactly
+    # (see fast_forward below). Only installed when checkpointing is on and
+    # we're in the main thread (signal module requirement).
+    stop_requested = {"flag": False}
+    old_handlers = {}
+    if manager is not None:
+        import signal
+        import threading
+
+        if threading.current_thread() is threading.main_thread():
+
+            def _on_signal(signum, frame):
+                stop_requested["flag"] = True
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                old_handlers[sig] = signal.signal(sig, _on_signal)
+
     history = []
     # Host-side step mirror: avoids a device sync per iteration (the device
     # `state.step` is only read at restore time).
@@ -317,8 +335,21 @@ def train(
             and step_now % cfg.train.checkpoint_every < stride
         ):
             ckpt_io.save(manager, step_now, state)
+        if stop_requested["flag"]:
+            import sys as _s
+
+            print(
+                f"[molvax] signal received: checkpointing at step {step_now} "
+                "and stopping",
+                file=_s.stderr,
+            )
+            break
     if manager is not None:
         ckpt_io.save(manager, step_now, state)
         manager.wait_until_finished()
+        import signal
+
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
     logger.close()
     return state, history
