@@ -113,7 +113,15 @@ def main():
     torch_sps = measure_torch_cpu(codes, charset_size)
     print(f"torch-cpu baseline: {torch_sps:.1f} SMILES/sec", file=sys.stderr)
 
-    molvax_sps = measure_molvax(codes, charset_size)
+    # The dev box reaches its TPU through a remote PJRT tunnel that
+    # occasionally drops mid-run; one retry covers transient aborts.
+    try:
+        molvax_sps = measure_molvax(codes, charset_size)
+    except Exception as e:  # pragma: no cover - tunnel flake path
+        print(f"molvax measurement failed ({type(e).__name__}); retrying",
+              file=sys.stderr)
+        time.sleep(30)
+        molvax_sps = measure_molvax(codes, charset_size)
     print(f"molvax: {molvax_sps:.1f} SMILES/sec/chip", file=sys.stderr)
 
     print(

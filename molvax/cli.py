@@ -194,6 +194,25 @@ def cmd_optimize(args) -> int:
     return 0
 
 
+def cmd_export_data(args) -> int:
+    """Export a corpus to the chemvae .h5 layout (data interop with the
+    reference tooling)."""
+    from .data import export_h5, load_dataset
+
+    cfg = _load_cfg(args)
+    dataset = load_dataset(
+        cfg.data.source,
+        max_len=cfg.data.max_len,
+        synthetic_n=cfg.data.n_synthetic,
+        seed=cfg.data.seed,
+    )
+    export_h5(dataset, args.out, test_fraction=cfg.data.test_fraction,
+              seed=cfg.data.seed)
+    print(f"wrote {args.out}: {len(dataset)} molecules, "
+          f"charset {dataset.charset.size}")
+    return 0
+
+
 def cmd_presets(args) -> int:
     for name, fn in PRESETS.items():
         print(f"{name}: {fn.__doc__.strip().splitlines()[0]}")
@@ -280,6 +299,13 @@ def main(argv=None) -> int:
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("smiles", nargs="+")
     sp.set_defaults(fn=cmd_optimize)
+
+    sp = sub.add_parser(
+        "export-data", help="export a corpus to the chemvae .h5 layout"
+    )
+    common(sp)
+    sp.add_argument("--out", required=True, help="output .h5 path")
+    sp.set_defaults(fn=cmd_export_data)
 
     sp = sub.add_parser("presets", help="list named presets")
     sp.set_defaults(fn=cmd_presets)
