@@ -118,7 +118,7 @@ def main():
     try:
         molvax_sps = measure_molvax(codes, charset_size)
     except Exception as e:  # pragma: no cover - tunnel flake path
-        print(f"molvax measurement failed ({type(e).__name__}); retrying",
+        print(f"molvax measurement failed ({type(e).__name__}: {e}); retrying once",
               file=sys.stderr)
         time.sleep(30)
         molvax_sps = measure_molvax(codes, charset_size)

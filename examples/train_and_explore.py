@@ -84,7 +84,7 @@ def main():
 
         for s_in, s_out, o0, o1 in zip(
             ["CCO", "CCNC"], out,
-            np.asarray(res.trajectory[0]), np.asarray(res.objective),
+            np.asarray(res.objective_start), np.asarray(res.objective),
         ):
             print(f"  {s_in} -> {s_out}   objective {o0:.3f} -> {o1:.3f}")
 

@@ -166,14 +166,17 @@ def cmd_optimize(args) -> int:
     from .latent.optimize import default_objective
 
     cfg = _load_cfg(args)
-    cfg, state, charset = _restore(cfg, args.ckpt)
+    # guard BEFORE restore: with a headless config the orbax template wouldn't
+    # match a property checkpoint and the raw tree-mismatch error is cryptic
     if cfg.model.n_properties == 0:
         raise SystemExit(
-            "checkpoint has no property head; train with model.n_properties>0 "
-            "(e.g. --preset property_joint)"
+            "config has no property head; pass the preset/overrides the "
+            "checkpoint was trained with (e.g. --preset property_joint)"
         )
+    cfg, state, charset = _restore(cfg, args.ckpt)
+    sign = -1.0 if args.minimize else 1.0
     objective = default_objective(
-        cfg.model, property_index=args.property, sign=-1.0 if args.minimize else 1.0
+        cfg.model, property_index=args.property, sign=sign
     )
     out, result = optimize_from_smiles(
         state.params,
@@ -187,8 +190,10 @@ def cmd_optimize(args) -> int:
     )
     import numpy as np
 
-    start = np.asarray(result.trajectory[0])
-    end = np.asarray(result.objective)
+    # report actual property values (undo the minimize sign flip), measured
+    # at the encoded seed and at the optimized latent
+    start = sign * np.asarray(result.objective_start)
+    end = sign * np.asarray(result.objective)
     for s_in, s_out, o0, o1 in zip(args.smiles, out, start, end):
         print(f"{s_in}\t{s_out}\t{o0:.4f}->{o1:.4f}")
     return 0

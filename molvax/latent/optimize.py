@@ -27,7 +27,8 @@ Array = jax.Array
 class OptimizeResult(NamedTuple):
     z: Array  # (B, L) final latents
     objective: Array  # (B,) final objective values
-    trajectory: Array  # (steps, B) objective per step
+    trajectory: Array  # (steps, B) objective after each gradient step
+    objective_start: Array  # (B,) objective at the seed z0 (before any step)
 
 
 def default_objective(cfg: ModelConfig, property_index: int = 0, sign: float = 1.0):
@@ -72,9 +73,13 @@ def optimize_z(
         _, obj = total(z_new)
         return z_new, obj
 
+    _, obj_start = total(z0)
     z_final, traj = jax.lax.scan(step, z0, None, length=steps)
     _, obj_final = total(z_final)
-    return OptimizeResult(z=z_final, objective=obj_final, trajectory=traj)
+    return OptimizeResult(
+        z=z_final, objective=obj_final, trajectory=traj,
+        objective_start=obj_start,
+    )
 
 
 def optimize_from_smiles(

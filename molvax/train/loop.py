@@ -284,12 +284,20 @@ def train(
     stop_requested = {"flag": False}
     old_handlers = {}
     if manager is not None:
+        import os
         import signal
         import threading
 
         if threading.current_thread() is threading.main_thread():
 
             def _on_signal(signum, frame):
+                if stop_requested["flag"]:
+                    # second signal: the user means it - restore the default
+                    # disposition and re-deliver so the process actually dies
+                    # even if a device call is wedged
+                    signal.signal(signum, signal.SIG_DFL)
+                    os.kill(os.getpid(), signum)
+                    return
                 stop_requested["flag"] = True
 
             for sig in (signal.SIGTERM, signal.SIGINT):
@@ -303,53 +311,59 @@ def train(
         # resume: replay the deterministic shuffle so the data order matches
         # an uninterrupted run (one batch consumed per optimizer step)
         it.fast_forward(step_now)
-    while step_now < total_steps:
-        if train_chunk is not None and step_now + chunk <= total_steps:
-            codes_stack, props_stack = it.next_stack(chunk, stacked_sh)
-            state, stacked = train_chunk(state, codes_stack, props_stack)
-            metrics = jax.tree.map(lambda x: x[-1], stacked)
-            step_now += chunk
-        else:
-            codes, props = next(it)
-            state, metrics = train_step(state, codes, props)
-            step_now += 1
-        if cfg.train.log_every > 0 and (
-            step_now % cfg.train.log_every < (chunk if train_chunk is not None else 1)
-            or step_now == total_steps
-        ):
-            history.append(logger.log(step_now, metrics))
-        stride = chunk if train_chunk is not None else 1
-        if eval_step is not None and step_now % cfg.train.eval_every < stride:
-            acc = []
-            for _ in range(cfg.train.eval_batches):
-                e_codes, e_props = next(eval_it)
-                acc.append(eval_step(state, e_codes, e_props))
-            mean = {
-                f"eval_{k}": jnp.mean(jnp.stack([m[k] for m in acc]))
-                for k in acc[0]
-            }
-            history.append(logger.log(step_now, mean))
-        if (
-            manager is not None
-            and cfg.train.checkpoint_every > 0
-            and step_now % cfg.train.checkpoint_every < stride
-        ):
+    try:
+        while step_now < total_steps:
+            if train_chunk is not None and step_now + chunk <= total_steps:
+                codes_stack, props_stack = it.next_stack(chunk, stacked_sh)
+                state, stacked = train_chunk(state, codes_stack, props_stack)
+                metrics = jax.tree.map(lambda x: x[-1], stacked)
+                step_now += chunk
+            else:
+                codes, props = next(it)
+                state, metrics = train_step(state, codes, props)
+                step_now += 1
+            if cfg.train.log_every > 0 and (
+                step_now % cfg.train.log_every < (chunk if train_chunk is not None else 1)
+                or step_now == total_steps
+            ):
+                history.append(logger.log(step_now, metrics))
+            stride = chunk if train_chunk is not None else 1
+            if eval_step is not None and step_now % cfg.train.eval_every < stride:
+                acc = []
+                for _ in range(cfg.train.eval_batches):
+                    e_codes, e_props = next(eval_it)
+                    acc.append(eval_step(state, e_codes, e_props))
+                mean = {
+                    f"eval_{k}": jnp.mean(jnp.stack([m[k] for m in acc]))
+                    for k in acc[0]
+                }
+                history.append(logger.log(step_now, mean))
+            if (
+                manager is not None
+                and cfg.train.checkpoint_every > 0
+                and step_now % cfg.train.checkpoint_every < stride
+            ):
+                ckpt_io.save(manager, step_now, state)
+            if stop_requested["flag"]:
+                import sys as _s
+
+                print(
+                    f"[molvax] signal received: checkpointing at step {step_now} "
+                    "and stopping",
+                    file=_s.stderr,
+                )
+                break
+        if manager is not None:
             ckpt_io.save(manager, step_now, state)
-        if stop_requested["flag"]:
-            import sys as _s
+            manager.wait_until_finished()
+    finally:
+        # always restore signal dispositions and flush the logger, even when
+        # the loop raises (a wedged handler would make the process
+        # uninterruptible for the rest of its life)
+        if old_handlers:
+            import signal
 
-            print(
-                f"[molvax] signal received: checkpointing at step {step_now} "
-                "and stopping",
-                file=_s.stderr,
-            )
-            break
-    if manager is not None:
-        ckpt_io.save(manager, step_now, state)
-        manager.wait_until_finished()
-        import signal
-
-        for sig, h in old_handlers.items():
-            signal.signal(sig, h)
-    logger.close()
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)
+        logger.close()
     return state, history

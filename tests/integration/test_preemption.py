@@ -69,3 +69,23 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     assert saved_step is not None and saved_step > 0
     exit_step = int(out.split("CLEAN-EXIT")[1].strip())
     assert saved_step == exit_step
+
+    # and the next run RESUMES from it (the headline claim): training picks
+    # up at saved_step and advances, not from a fresh init
+    import jax
+
+    from molvax.config import Config, DataConfig, ModelConfig, TrainConfig
+    from molvax.data import synthetic_dataset
+    from molvax.train import train
+
+    cfg = Config(
+        model=ModelConfig(max_len=32, charset_size=37, latent_dim=8,
+                          enc_hidden=12, gru_hidden=12, gru_layers=1),
+        train=TrainConfig(batch_size=8, log_every=1, checkpoint_every=100000,
+                          checkpoint_dir=ckpt),
+        data=DataConfig(max_len=32),
+    )
+    ds = synthetic_dataset(64, max_len=32, seed=0)
+    state, history = train(cfg, dataset=ds, max_steps=saved_step + 3, verbose=False)
+    assert int(jax.device_get(state.step)) == saved_step + 3
+    assert history[0]["step"] > saved_step  # no steps before the restore point
