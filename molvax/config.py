@@ -67,6 +67,9 @@ class KLScheduleConfig:
 class TrainConfig:
     batch_size: int = 64
     learning_rate: float = 1e-3
+    lr_schedule: str = "constant"  # 'constant' | 'cosine' | 'warmup_cosine'
+    lr_warmup_steps: int = 500  # warmup_cosine: linear ramp length
+    lr_decay_steps: int = 100_000  # cosine horizon (end value = 10% of peak)
     epochs: int = 50
     steps: Optional[int] = None  # overrides epochs when set
     seed: int = 0
@@ -80,6 +83,9 @@ class TrainConfig:
     checkpoint_every: int = 1000
     checkpoint_dir: Optional[str] = None
     keep_checkpoints: int = 3
+
+    def __post_init__(self):
+        assert self.lr_schedule in ("constant", "cosine", "warmup_cosine")
 
 
 @dataclasses.dataclass(frozen=True)

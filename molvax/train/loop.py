@@ -42,9 +42,28 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    tx = optax.adam(cfg.train.learning_rate)
-    if cfg.train.grad_clip_norm:
-        tx = optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip_norm), tx)
+    """Adam (the reference's optimizer, SURVEY.md 2.9) with optional LR
+    scheduling - schedules trace into the jitted step via the optimizer
+    state's step count, so they cost nothing per step and survive
+    checkpoint/resume exactly."""
+    t = cfg.train
+    if t.lr_schedule == "constant":
+        lr = t.learning_rate
+    elif t.lr_schedule == "cosine":
+        lr = optax.cosine_decay_schedule(
+            t.learning_rate, t.lr_decay_steps, alpha=0.1
+        )
+    else:  # warmup_cosine
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=t.learning_rate,
+            warmup_steps=t.lr_warmup_steps,
+            decay_steps=t.lr_decay_steps,
+            end_value=0.1 * t.learning_rate,
+        )
+    tx = optax.adam(lr)
+    if t.grad_clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(t.grad_clip_norm), tx)
     return tx
 
 
