@@ -55,19 +55,34 @@ def cmd_train(args) -> int:
     return 0
 
 
-def _restore(cfg: Config, ckpt_dir: str):
-    """Restore (cfg, state, charset) from a checkpoint dir. The charset the
-    model was trained on is recorded as charset.json by train(); decoding
-    with any other table would emit garbage strings, and a corpus-derived
-    charset may differ in size from the preset's default (the state template
-    must match the trained shapes)."""
+def _restore(cfg: Config, ckpt_dir: str, args=None):
+    """Restore (cfg, state, charset) from a checkpoint dir.
+
+    Checkpoints are self-describing: train() records config.json (the full
+    effective config - it becomes the base here, so `--ckpt` alone restores
+    any model; explicit --override still applies on top) and charset.json
+    (the exact decode table the model was trained on - any other table would
+    emit garbage strings)."""
     import dataclasses
     import json
     import os
+    import sys as _sys
 
+    from .config import from_dict
     from .data import DEFAULT_CHARSET, Charset
     from .io import checkpoint as ckpt_io
     from .train import init_state
+
+    cfg_path = os.path.join(ckpt_dir, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            cfg = from_dict(json.load(f))
+        if args is not None and args.override:
+            cfg = apply_overrides(cfg, _parse_overrides(args.override))
+        print(
+            f"[molvax] restored config from {cfg_path} (name={cfg.name})",
+            file=_sys.stderr,
+        )
 
     charset = DEFAULT_CHARSET
     cs_path = os.path.join(ckpt_dir, "charset.json")
@@ -93,7 +108,7 @@ def cmd_sample(args) -> int:
     from .latent import sample_prior
 
     cfg = _load_cfg(args)
-    cfg, state, charset = _restore(cfg, args.ckpt)
+    cfg, state, charset = _restore(cfg, args.ckpt, args)
     smiles = sample_prior(
         state.params,
         cfg.model,
@@ -113,7 +128,7 @@ def cmd_interpolate(args) -> int:
     from .latent import interpolate
 
     cfg = _load_cfg(args)
-    cfg, state, charset = _restore(cfg, args.ckpt)
+    cfg, state, charset = _restore(cfg, args.ckpt, args)
     for s in interpolate(
         state.params, cfg.model, args.start, args.end, steps=args.n,
         charset=charset,
@@ -128,7 +143,7 @@ def cmd_reconstruct(args) -> int:
     from .latent import reconstruct
 
     cfg = _load_cfg(args)
-    cfg, state, charset = _restore(cfg, args.ckpt)
+    cfg, state, charset = _restore(cfg, args.ckpt, args)
     out = reconstruct(
         state.params, cfg.model, args.smiles, jax.random.key(args.seed),
         charset=charset,
@@ -145,7 +160,7 @@ def cmd_evaluate(args) -> int:
     from .train.evaluate import evaluate
 
     cfg = _load_cfg(args)
-    cfg, state, charset = _restore(cfg, args.ckpt)
+    cfg, state, charset = _restore(cfg, args.ckpt, args)
     dataset = load_dataset(
         cfg.data.source,
         max_len=cfg.data.max_len,
@@ -165,15 +180,26 @@ def cmd_optimize(args) -> int:
     from .latent import optimize_from_smiles
     from .latent.optimize import default_objective
 
+    import os
+
     cfg = _load_cfg(args)
-    # guard BEFORE restore: with a headless config the orbax template wouldn't
-    # match a property checkpoint and the raw tree-mismatch error is cryptic
-    if cfg.model.n_properties == 0:
+    # With a self-describing checkpoint (config.json), _restore supplies the
+    # right head config. For legacy dirs the guard must fire BEFORE restore:
+    # a headless orbax template against a property checkpoint crashes with a
+    # cryptic tree mismatch.
+    if (
+        not os.path.exists(os.path.join(args.ckpt, "config.json"))
+        and cfg.model.n_properties == 0
+    ):
         raise SystemExit(
             "config has no property head; pass the preset/overrides the "
             "checkpoint was trained with (e.g. --preset property_joint)"
         )
-    cfg, state, charset = _restore(cfg, args.ckpt)
+    cfg, state, charset = _restore(cfg, args.ckpt, args)
+    if cfg.model.n_properties == 0:
+        raise SystemExit(
+            "checkpoint has no property head; train with model.n_properties>0"
+        )
     sign = -1.0 if args.minimize else 1.0
     objective = default_objective(
         cfg.model, property_index=args.property, sign=sign

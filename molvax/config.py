@@ -221,6 +221,27 @@ def get_preset(name: str) -> Config:
     return PRESETS[name]()
 
 
+def to_dict(cfg: Config) -> dict:
+    """Config -> plain JSON-serializable dict (tuples become lists)."""
+    return dataclasses.asdict(cfg)
+
+
+def from_dict(d: dict) -> Config:
+    """Inverse of to_dict (lists that landed on tuple fields are converted)."""
+    model = dict(d["model"])
+    for k in ("conv_channels", "conv_kernels"):
+        model[k] = tuple(model[k])
+    train = dict(d["train"])
+    train["kl"] = KLScheduleConfig(**train["kl"])
+    return Config(
+        model=ModelConfig(**model),
+        train=TrainConfig(**train),
+        data=DataConfig(**d["data"]),
+        mesh=MeshConfig(**d["mesh"]),
+        name=d.get("name", "default"),
+    )
+
+
 def apply_overrides(cfg: Config, overrides: dict) -> Config:
     """Dotted-path overrides: {'train.batch_size': 128, 'model.use_pallas': True}."""
     for path, value in overrides.items():

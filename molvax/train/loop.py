@@ -266,16 +266,23 @@ def train(
         manager = ckpt_io.make_manager(
             cfg.train.checkpoint_dir, keep=cfg.train.keep_checkpoints
         )
-        # Record the training charset next to the checkpoints so inference
-        # entry points (CLI sample/evaluate) decode with the exact table the
-        # model was trained on.
+        # Record the training charset and full config next to the
+        # checkpoints: inference entry points decode with the exact table the
+        # model was trained on, and `--ckpt` alone is enough to restore (no
+        # re-passing presets/overrides).
         import json
         import os
+
+        from ..config import to_dict
 
         with open(
             os.path.join(cfg.train.checkpoint_dir, "charset.json"), "w"
         ) as f:
             json.dump(list(dataset.charset.chars), f)
+        with open(
+            os.path.join(cfg.train.checkpoint_dir, "config.json"), "w"
+        ) as f:
+            json.dump(to_dict(cfg), f, indent=1)
         restored = ckpt_io.restore_latest(manager, state)
         if restored is not None:
             state = restored

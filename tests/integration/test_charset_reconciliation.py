@@ -104,3 +104,32 @@ def test_train_resume_replays_data_order(tmp_path, corpus):
     )
     for a, b in zip(jax.tree.leaves(s_full.params), jax.tree.leaves(s_res.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_self_describing_checkpoint_restores_without_overrides(tmp_path, corpus, capsys):
+    """`--ckpt` alone restores the full config (config.json) - no need to
+    re-pass the preset/overrides the model was trained with."""
+    ckpt = str(tmp_path / "sd")
+    rc = main([
+        "train",
+        "--override", f"data.source={corpus}",
+        "--override", "data.max_len=16",
+        "--override", "model.max_len=16",
+        "--override", "model.conv_kernels=(3,3,3)",
+        "--override", "model.latent_dim=8",
+        "--override", "model.enc_hidden=12",
+        "--override", "model.gru_hidden=12",
+        "--override", "model.gru_layers=1",
+        "--override", "train.batch_size=8",
+        "--override", f"train.checkpoint_dir={ckpt}",
+        "--steps", "4", "--quiet",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    # bare --ckpt: config.json supplies the non-default architecture
+    rc = main(["sample", "--ckpt", ckpt, "-n", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3
+    for s in out:
+        assert set(s) <= {"C", "N", "O"}, s
