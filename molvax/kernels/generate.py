@@ -26,7 +26,6 @@ exceed the VMEM budget (the 4xGRU-1024 scaled config).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,6 @@ check interpret-mode agreement incl. gradients (SURVEY.md 4.3).
 
 from __future__ import annotations
 
-import functools
 from typing import List, Tuple
 
 import jax

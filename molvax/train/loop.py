@@ -15,7 +15,6 @@ reparam noise depends only on the global step and sample index).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
