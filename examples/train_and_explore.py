@@ -50,6 +50,12 @@ def main():
         seed=cfg.data.seed,
         with_properties=cfg.model.n_properties > 0,
     )
+    # reconcile cfg with the dataset (charset width, property-target stats)
+    # so the post-training workloads below see the same effective config the
+    # run records in its checkpoint
+    from molvax.train import effective_config
+
+    cfg = effective_config(cfg, dataset)
     state, history = train(cfg, dataset=dataset, max_steps=args.steps)
     last = [h for h in history if "loss" in h][-1]
     print(f"final: loss {last['loss']:.2f}, teacher-forced acc {last['acc']:.3f}")

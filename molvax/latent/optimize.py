@@ -32,10 +32,16 @@ class OptimizeResult(NamedTuple):
 
 
 def default_objective(cfg: ModelConfig, property_index: int = 0, sign: float = 1.0):
-    """Maximize (sign=+1) / minimize (sign=-1) one property-head output."""
+    """Maximize (sign=+1) / minimize (sign=-1) one property-head output,
+    in RAW property units (predictions are de-normalized with the training
+    stats recorded in the config, so reported objectives read as logP/QED/SAS
+    values; the de-normalization is affine with std>0 - same ascent
+    direction as the normalized head output)."""
+    from ..nn.property_head import denormalize_properties
 
     def objective(params, z):
         props = predict_properties(params["property_head"], cfg, z)
+        props = denormalize_properties(cfg, props)
         return sign * props[..., property_index]
 
     return objective

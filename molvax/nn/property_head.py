@@ -29,6 +29,30 @@ def init_property_head_params(key: Array, cfg: ModelConfig) -> Params:
 
 
 def predict_properties(params: Params, cfg: ModelConfig, z: Array) -> Array:
-    """z: (B, latent) -> (B, n_properties). fp32 (tiny; precision > speed)."""
+    """z: (B, latent) -> (B, n_properties), in NORMALIZED units when the
+    config carries target stats (training standardizes targets; see
+    normalize_targets). fp32 (tiny; precision > speed)."""
     h = jnp.tanh(linear(params["hidden"], z))
     return linear(params["out"], h)
+
+
+def normalize_targets(cfg: ModelConfig, targets: Array) -> Array:
+    """Raw property targets -> standardized training targets.
+
+    Identity when the config has no stats (parity-twin path keeps raw units).
+    """
+    if cfg.property_mean is None or cfg.property_std is None:
+        return targets
+    mean = jnp.asarray(cfg.property_mean, jnp.float32)
+    std = jnp.asarray(cfg.property_std, jnp.float32)
+    return (targets.astype(jnp.float32) - mean) / std
+
+
+def denormalize_properties(cfg: ModelConfig, pred: Array) -> Array:
+    """Head outputs -> raw property units (logP/QED/SAS scales), using the
+    stats recorded in the training config. Identity without stats."""
+    if cfg.property_mean is None or cfg.property_std is None:
+        return pred
+    mean = jnp.asarray(cfg.property_mean, jnp.float32)
+    std = jnp.asarray(cfg.property_std, jnp.float32)
+    return pred * std + mean

@@ -1,6 +1,7 @@
 from .evaluate import evaluate, generation_metrics, reconstruction_metrics
 from .loop import (
     TrainState,
+    effective_config,
     init_state,
     make_eval_step,
     make_train_chunk,

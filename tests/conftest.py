@@ -33,6 +33,15 @@ assert jax.default_backend() == "cpu", (
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Tier the suite: everything not explicitly @pytest.mark.slow gets
+    `quick`, so `pytest -m quick` is a <60s iteration lane and the full
+    (unfiltered) run is unchanged (VERDICT r1 weak 8)."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture(scope="session")
 def devices():
     devs = jax.devices()

@@ -6,6 +6,10 @@ data-parallel step is numerically equal to the single-device step on the same
 global batch (the compiler-inserted gradient psum is exact in fp32).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import dataclasses
 
 import jax

@@ -1,5 +1,9 @@
 """Fused multi-step trainer under GSPMD: 8-way DP chunk == 1-device chunk."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,10 @@
 """Regression: corpus-derived charsets (non-default size/order) flow through
 train -> checkpoint -> CLI inference without silent code-table mismatches."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 
 import numpy as np

@@ -1,5 +1,9 @@
 """Preemption safety: SIGTERM mid-training checkpoints and resumes cleanly."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 import os
 import signal

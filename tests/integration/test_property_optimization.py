@@ -1,6 +1,10 @@
 """Config-5 workload end-to-end: joint property training, then gradient
 ascent in z improves the predicted property of decoded molecules."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 
 import jax

@@ -1,6 +1,10 @@
 """Integration: a tiny config trains end-to-end with decreasing loss
 (SURVEY.md section 4.4), checkpoints resume, sampling emits strings."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import dataclasses
 
 import jax

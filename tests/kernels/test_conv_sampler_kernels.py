@@ -1,5 +1,9 @@
 """Fused conv-encoder and sampler kernels vs jnp references (interpret mode)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import dataclasses
 
 import jax

@@ -21,6 +21,7 @@ CFG = ModelConfig(
 PARAMS = init_vae_params(jax.random.key(0), CFG)
 
 
+@pytest.mark.slow
 def test_greedy_matches_scan_reference():
     """Interpret mode runs the kernel math in fp64-backed CPU ops - greedy
     codes must match the jnp scan exactly (fp32 vs bf16 only diverges on
@@ -33,6 +34,7 @@ def test_greedy_matches_scan_reference():
     assert agree > 0.97, agree
 
 
+@pytest.mark.slow
 def test_codes_in_range_and_shape():
     z_emb = latent_embed(
         PARAMS["decoder"], CFG, jax.random.normal(jax.random.key(3), (4, CFG.latent_dim))

@@ -2,6 +2,10 @@
 CPU must match gru_layer_recurrence / gru_forward closely in fp32, including
 gradients through the custom VJP."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import functools
 
 import jax

@@ -196,6 +196,7 @@ def test_state_dict_roundtrip():
         )
 
 
+@pytest.mark.slow
 def test_jax_to_torch_direction():
     """Init in JAX, export to torch, parity on encode."""
     cfg = make_cfg()

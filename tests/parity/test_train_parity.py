@@ -4,6 +4,10 @@ forward is deterministic in both frameworks), same Adam hyperparameters ->
 loss trajectories must track within fp32 drift over several optimizer steps.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import dataclasses
 
 import jax

@@ -1,3 +1,4 @@
+import pytest
 import dataclasses
 
 import jax
@@ -20,6 +21,7 @@ def tiny_cfg():
     )
 
 
+@pytest.mark.slow
 def test_save_restore_roundtrip(tmp_path):
     cfg = tiny_cfg()
     state = init_state(cfg)

@@ -13,6 +13,7 @@ def test_presets_command(capsys):
         assert name in out
 
 
+@pytest.mark.slow
 def test_train_tiny_and_sample(tmp_path, capsys):
     ckpt = str(tmp_path / "ck")
     metrics = str(tmp_path / "m.jsonl")
@@ -89,6 +90,7 @@ def test_bad_override():
         main(["train", "--override", "nokey", "--steps", "1"])
 
 
+@pytest.mark.slow
 def test_missing_ckpt():
     with pytest.raises(SystemExit):
         main(["sample", "--ckpt", "/tmp/definitely/missing", "-n", "1"])

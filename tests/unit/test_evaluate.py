@@ -1,3 +1,4 @@
+import pytest
 import jax
 import numpy as np
 
@@ -23,6 +24,7 @@ def tiny_cfg():
     )
 
 
+@pytest.mark.slow
 def test_evaluate_full_report():
     cfg = tiny_cfg()
     ds = synthetic_dataset(64, max_len=32, seed=0)
@@ -36,6 +38,7 @@ def test_evaluate_full_report():
     assert 0.0 <= report["recon_char_acc"] <= 1.0
 
 
+@pytest.mark.slow
 def test_generation_metrics_ranges():
     cfg = tiny_cfg()
     state = init_state(cfg)
@@ -44,6 +47,7 @@ def test_generation_metrics_ranges():
     assert all(0.0 <= m[k] <= 1.0 for k in ("gen_valid", "gen_unique", "gen_novelty"))
 
 
+@pytest.mark.slow
 def test_reconstruction_metrics():
     cfg = tiny_cfg()
     ds = synthetic_dataset(32, max_len=32, seed=1)

@@ -41,6 +41,7 @@ def test_generate_greedy_deterministic():
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
 
 
+@pytest.mark.slow
 def test_generate_stochastic_varies_with_key():
     z = jnp.zeros((4, CFG.latent_dim))
     c1, _ = generate(PARAMS, CFG, z, jax.random.key(0), greedy=False, temperature=2.0)
@@ -56,6 +57,7 @@ def test_generate_repeat_z_mode():
     assert codes.shape == (3, cfg.max_len)
 
 
+@pytest.mark.slow
 def test_greedy_matches_teacher_free_consistency():
     """Autoregressive greedy decode must be self-consistent: re-running the
     decoder teacher-forced on its own output reproduces the same argmax."""
@@ -86,6 +88,7 @@ def test_lerp_slerp_endpoints():
     assert float(jnp.linalg.norm(mid)) == pytest.approx(1.5, rel=1e-4)
 
 
+@pytest.mark.slow
 def test_interpolate_strings():
     out = interpolate(PARAMS, CFG, "CCO", "c1ccccc1", steps=5)
     assert len(out) == 5

@@ -29,6 +29,7 @@ def test_kl_zero_at_prior():
     np.testing.assert_allclose(np.asarray(gaussian_kl(z, z)), 0.0, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_recon_ce_matches_manual():
     logits = jax.random.normal(jax.random.key(0), (2, 5, 7))
     codes = jnp.array([[0, 1, 2, 3, 4], [6, 5, 4, 3, 2]])

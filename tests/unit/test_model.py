@@ -23,6 +23,7 @@ def _batch(cfg, n=4, seed=0):
 
 @pytest.mark.parametrize("orientation", ["seq", "charset"])
 @pytest.mark.parametrize("conditioning", ["teacher_forced", "repeat_z"])
+@pytest.mark.slow
 def test_forward_shapes(orientation, conditioning):
     cfg = dataclasses.replace(
         CFG_SMALL, conv_orientation=orientation, decoder_conditioning=conditioning
@@ -91,6 +92,7 @@ def test_teacher_forced_requires_teacher():
         vae.decode(params, cfg, z)
 
 
+@pytest.mark.slow
 def test_property_head():
     cfg = dataclasses.replace(CFG_SMALL, n_properties=3)
     params = vae.init_vae_params(jax.random.key(0), cfg)
@@ -99,6 +101,7 @@ def test_property_head():
     assert out.properties.shape == (4, 3)
 
 
+@pytest.mark.slow
 def test_bf16_policy_keeps_heads_fp32():
     cfg = dataclasses.replace(CFG_SMALL, compute_dtype="bfloat16")
     params = vae.init_vae_params(jax.random.key(0), cfg)
@@ -107,6 +110,7 @@ def test_bf16_policy_keeps_heads_fp32():
     assert out.logvar.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_scaled_config_shapes():
     # Preset 4 architecture (BASELINE.json:10): 4x GRU-1024, latent-512.
     cfg = ModelConfig(latent_dim=512, gru_hidden=1024, gru_layers=4, enc_hidden=512)

