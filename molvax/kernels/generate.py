@@ -68,7 +68,7 @@ def _gate(gi, gh, h, Hp):
 
 
 def _make_kernel(L: int, T: int, C: int, greedy: bool, temperature: float):
-    def kernel(seed_ref, giz1_ref, wc_ref, *refs):
+    def kernel(seed_ref, start_ref, giz1_ref, wc_ref, *refs):
         # refs: w_hh_1, b_hh_1, (w_ih_l, b_ih_l, w_hh_l, b_hh_l) for
         #       l=2..L, w_out, b_out, codes_ref (out)
         w_hh1, b_hh1 = refs[0], refs[1]
@@ -139,7 +139,8 @@ def _make_kernel(L: int, T: int, C: int, greedy: bool, temperature: float):
             return (prev_new, *new_hs)
 
         h0 = [jnp.zeros((Bb, Hp), jnp.float32) for _ in range(L)]
-        prev0 = jnp.zeros((Bb, Cp), jnp.float32)
+        # start token: zero vector (reference) or the learned one, padded
+        prev0 = jnp.broadcast_to(start_ref[0], (Bb, Cp)).astype(jnp.float32)
         jax.lax.fori_loop(0, T, step, (prev0, *h0))
 
     return kernel
@@ -198,7 +199,15 @@ def fused_generate(
     seed = _seed_from_key(key)
     b_blk = _B_BLK if B % _B_BLK == 0 else B
 
-    args = [seed, giz1, wc, whh1, bhh1, *rest, w_out, b_out]
+    start = dec_params.get("start_token")
+    start_p = _pad_tail(
+        start.astype(jnp.float32)
+        if start is not None
+        else jnp.zeros((C,), jnp.float32),
+        0,
+        Cp,
+    )[None, :]
+    args = [seed, start_p, giz1, wc, whh1, bhh1, *rest, w_out, b_out]
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [
         pl.BlockSpec(
             ((b_blk, Gp) if a is giz1 else a.shape),

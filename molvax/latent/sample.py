@@ -78,7 +78,12 @@ def generate(
     L = len(dec["gru"])
     H = dec["gru"][0]["w_hh"].shape[0]
     h0 = jnp.zeros((L, B, H), jnp.float32)
-    prev0 = jnp.zeros((B, C), jnp.float32)  # start token = zero vector
+    start = dec.get("start_token")  # learned start vector, else zero (reference)
+    prev0 = (
+        jnp.broadcast_to(start.astype(jnp.float32)[None, :], (B, C))
+        if start is not None
+        else jnp.zeros((B, C), jnp.float32)
+    )
     keys = jax.random.split(key, T)
 
     def step(carry, key_t):

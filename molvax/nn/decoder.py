@@ -43,13 +43,18 @@ def decoder_input_size(cfg: ModelConfig) -> int:
 
 def init_decoder_params(key: Array, cfg: ModelConfig) -> Params:
     k1, k2, k3 = jax.random.split(key, 3)
-    return {
+    params = {
         "linear_3": init_linear(k1, cfg.latent_dim, cfg.latent_dim),
         "gru": init_gru_params(
             k2, decoder_input_size(cfg), cfg.gru_hidden, cfg.gru_layers
         ),
         "linear_out": init_linear(k3, cfg.gru_hidden, cfg.charset_size),
     }
+    if cfg.learned_start:
+        # zero init = exactly the reference's zero start vector at step 0,
+        # then trained jointly; generation uses the same vector.
+        params["start_token"] = jnp.zeros((cfg.charset_size,), jnp.float32)
+    return params
 
 
 def latent_embed(params: Params, cfg: ModelConfig, z: Array) -> Array:
@@ -58,13 +63,20 @@ def latent_embed(params: Params, cfg: ModelConfig, z: Array) -> Array:
     return jax.nn.selu(linear(params["linear_3"], z, cd))
 
 
-def teacher_inputs(cfg: ModelConfig, z_emb: Array, x_onehot: Array) -> Array:
+def teacher_inputs(
+    cfg: ModelConfig, z_emb: Array, x_onehot: Array, start: Optional[Array] = None
+) -> Array:
     """(B, L) x (B, T, C) -> (B, T, L+C): z_emb tiled, teacher chars shifted
-    right one step (step 0 sees the zero start vector)."""
+    right one step. Step 0 sees the zero start vector (reference behavior),
+    or the learned ``start`` token when the model trains one."""
     B, T, C = x_onehot.shape
-    shifted = jnp.concatenate(
-        [jnp.zeros((B, 1, C), x_onehot.dtype), x_onehot[:, :-1, :]], axis=1
-    )
+    if start is None:
+        start_row = jnp.zeros((B, 1, C), x_onehot.dtype)
+    else:
+        start_row = jnp.broadcast_to(
+            start.astype(x_onehot.dtype)[None, None, :], (B, 1, C)
+        )
+    shifted = jnp.concatenate([start_row, x_onehot[:, :-1, :]], axis=1)
     z_tiled = jnp.broadcast_to(z_emb[:, None, :], (B, T, z_emb.shape[-1]))
     return jnp.concatenate([z_tiled, shifted], axis=-1)
 
@@ -88,7 +100,7 @@ def decode(
                 "teacher_forced decode needs teacher_onehot; use "
                 "molvax.latent.sample.generate for free-running decoding"
             )
-        x_seq = teacher_inputs(cfg, z_emb, teacher_onehot)
+        x_seq = teacher_inputs(cfg, z_emb, teacher_onehot, params.get("start_token"))
     else:
         x_seq = jnp.broadcast_to(
             z_emb[:, None, :], (B, cfg.max_len, z_emb.shape[-1])

