@@ -106,6 +106,9 @@ def measure_molvax(codes: np.ndarray, charset_size: int, batch: int = 256, steps
 
 
 def main():
+    from molvax.utils import enable_persistent_cache
+
+    enable_persistent_cache()
     from molvax.data import DEFAULT_CHARSET, synthetic_dataset
 
     charset_size = DEFAULT_CHARSET.size

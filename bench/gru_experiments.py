@@ -192,6 +192,9 @@ def run_fused3():
 
 
 def main():
+    from molvax.utils import enable_persistent_cache
+
+    enable_persistent_cache()
     assert jax.default_backend() == "tpu", "experiments need the TPU"
     print(f"config: B={B} T={T} Hp={Hp} L={L} K={K} b_blk={B_BLK}", file=sys.stderr)
 

@@ -133,6 +133,9 @@ def bench_torch(batch: int, steps: int) -> dict:
 
 
 def main():
+    from molvax.utils import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["train", "generate", "torch"], default="train")
     ap.add_argument("--preset", default="zinc250k")

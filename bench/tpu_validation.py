@@ -46,12 +46,46 @@ def quick_gate(params, mcfg, codes) -> Dict[str, float]:
     B = codes.shape[0]
     gru_in = params["decoder"]["gru"][0]["w_ih"].shape[0]
 
-    # GRU recurrence kernel vs fp32 XLA scan
-    x_seq = jax.random.normal(jax.random.key(1), (B, mcfg.max_len, gru_in))
-    o_ref, _ = jax.jit(gru_forward)(params["decoder"]["gru"], x_seq)
-    o_k, _ = jax.jit(gru_forward_pallas)(params["decoder"]["gru"], x_seq)
-    out["gru_max_err"] = float(jnp.max(jnp.abs(o_ref - o_k)))
-    assert out["gru_max_err"] < 0.05, f"GRU kernel numerics: {out}"
+    # GRU recurrence kernels vs a rounding-faithful XLA twin, on SHORT
+    # sequences. Two facts force this design (measured round 2, trained
+    # weights): (a) the generic fp32-carry reference diverges from any
+    # bf16-storing kernel as training sharpens the recurrence (0.086 after
+    # 48 steps); (b) even a twin that rounds exactly where the kernel
+    # rounds diverges at T=120 (0.215) because the recurrence chaotically
+    # amplifies MXU-vs-XLA accumulation-order noise. Mosaic regressions
+    # (dropped chains, bad DMA, masking) corrupt output at ANY horizon, so
+    # the gate runs T = 2 time blocks — long enough to cross a grid-block
+    # boundary and exercise carry/residual plumbing, short enough that
+    # amplification stays bounded and the tolerance stays tight.
+    from molvax.kernels.gru import _pick_b_blk, _round_up, _time_block
+    from molvax.kernels.gru_stack import gru_forward_faithful, stack_plan_ok
+
+    gru_layers = params["decoder"]["gru"]
+    Hp = _round_up(gru_layers[0]["w_hh"].shape[0], 128)
+    K = _time_block(mcfg.max_len, Hp, 16 * Hp, _pick_b_blk(B) or B)
+    t_gate = 2 * K
+    x_seq = jax.random.normal(jax.random.key(1), (B, t_gate, gru_in))
+
+    def gate(kernel, mode, label):
+        o_ref, _ = jax.jit(
+            lambda l, x: gru_forward_faithful(l, x, round_gi=mode)
+        )(gru_layers, x_seq)
+        o_k, _ = jax.jit(
+            lambda l, x: gru_forward_pallas(l, x, kernel=kernel)
+        )(gru_layers, x_seq)
+        err = jnp.abs(o_ref - o_k)
+        # Mean error is the regression statistic: accumulation-order chaos
+        # spreads thinly (measured ~1e-4 mean / up to ~0.03 max at T=2K on
+        # trained weights), while real Mosaic corruption — dropped chains,
+        # bad DMA indexing, mis-masked padding — shifts whole rows by O(1).
+        out[label + "_mean"] = float(jnp.mean(err))
+        out[label + "_max"] = float(jnp.max(err))
+        assert out[label + "_mean"] < 2e-3, f"GRU kernel numerics ({label}): {out}"
+        assert out[label + "_max"] < 0.2, f"GRU kernel numerics ({label}): {out}"
+
+    gate("per_layer", "all", "gru_err")  # the production training path
+    if stack_plan_ok(gru_layers, B, t_gate):
+        gate("fused_stack", "first", "gru_stack_err")
 
     # fused conv encoder vs jnp reference
     codes_j = jnp.asarray(codes)
@@ -86,6 +120,9 @@ def quick_gate(params, mcfg, codes) -> Dict[str, float]:
 
 
 def main() -> int:
+    from molvax.utils import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
     import numpy as np
 

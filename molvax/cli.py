@@ -267,6 +267,14 @@ def main(argv=None) -> int:
         if n_cpu:
             jax.config.update("jax_num_cpu_devices", int(n_cpu))
 
+    from .utils import enable_persistent_cache
+
+    # Mosaic/XLA compiles cost minutes through remote PJRT tunnels; cache
+    # them on disk so repeat CLI invocations skip straight to execution
+    # (MOLVAX_NO_COMPILE_CACHE=1 opts out).
+    if not os.environ.get("MOLVAX_NO_COMPILE_CACHE"):
+        enable_persistent_cache()
+
     p = argparse.ArgumentParser(prog="molvax", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
 

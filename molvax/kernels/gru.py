@@ -327,17 +327,36 @@ def gru_forward_pallas(
     x_seq: Array,
     h0: Array | None = None,
     compute_dtype=jnp.bfloat16,
+    kernel: str = "per_layer",
 ) -> Tuple[Array, Array]:
     """Drop-in for molvax.nn.gru.gru_forward: hoisted input GEMMs (XLA) +
-    Pallas recurrence per layer. x_seq (B, T, in) -> (out (B, T, H), h_final).
+    Pallas recurrence. x_seq (B, T, in) -> (out (B, T, H), h_final).
 
-    Falls back to the pure-XLA scan when the batch is not a multiple of the
-    kernel's batch block (e.g. tiny eval batches)."""
+    kernel='per_layer' (default): one recurrence kernel per layer, gate
+    residuals stored for the backward. kernel='fused_stack': the all-layers
+    kernel (molvax/kernels/gru_stack.py), which wins the isolated forward
+    (2.2 vs 3.9 ms at B=256/H=501/L=3 on v5 lite) but LOSES fwd+bwd
+    end-to-end (13.2 vs 9.3 ms device time, profiled round 2): its
+    recompute-gates backward trades stored residuals for ~2x the bwd matmul
+    work, and on this chip MXU throughput — not HBM traffic or serial-chain
+    latency — binds the backward. Training therefore defaults to per_layer;
+    the fused kernel stays for forward-dominated callers and future chips
+    where the trade flips (config: model.gru_kernel).
+
+    Falls back to the per-layer kernel when the stack shape or VMEM plan
+    rules the fused kernel out, and to the pure-XLA scan when the batch is
+    not a multiple of the kernel's batch block (e.g. tiny eval batches)."""
     B, T, _ = x_seq.shape
     if not _interpret() and not pallas_batch_ok(B):
         from ..nn.gru import gru_forward
 
         return gru_forward(layers, x_seq, h0, compute_dtype)
+
+    if kernel == "fused_stack":
+        from .gru_stack import gru_forward_wavefront, stack_plan_ok
+
+        if stack_plan_ok(layers, B, T):
+            return gru_forward_wavefront(layers, x_seq, h0, compute_dtype)
 
     L = len(layers)
     H = layers[0]["w_hh"].shape[0]

@@ -1,0 +1,639 @@
+"""Pallas TPU kernel: fused stacked-GRU recurrence (all layers, one kernel).
+
+Round-1 finding (VERDICT weak 1 / next 1): the per-layer kernel in
+molvax/kernels/gru.py launches one kernel per layer and stores 10*Hp bytes
+of residuals per cell (r|z|n + gh_n + h) for the backward pass. Measured on
+TPU v5 lite (bench/gru_experiments.py + round-2 experiments):
+
+  * A (layer, time)-wavefront schedule — the classically "right" shape for
+    shortening the serial chain — was built and measured FIRST: it ran no
+    faster than the per-layer kernel (3.7 vs 3.9 ms fwd at B=256). Each
+    wavefront round's matmuls consume the previous round's VPU gate outputs,
+    so Mosaic's in-order schedule alternates MXU-idle / VPU-idle; chain
+    interleaving (P=2) bought ~4% and tripled compile time.
+  * The LAYER-SEQUENTIAL fused kernel is the fast shape (2.75 vs 3.9 ms):
+    layer l's input-gate matmuls (x = layer l-1's outputs) were all written
+    during the *previous layer's sweep* of the same grid step, so the
+    scheduler prefetches them arbitrarily deep while the serial h @ W_hh
+    chain advances; only one matmul per cell is truly latency-bound.
+
+So this kernel runs layers sequentially inside each (batch, K-timestep)
+block, with everything resident in VMEM (~120 MB measured on this chip —
+far above the 16 MB planning figure; blocks are sized by _plan_blocks):
+
+  * All weights (W_ih of layers 1..L-1 + W_hh of all layers) stay in VMEM
+    across the whole sweep; layers>0 input gates are computed in-kernel.
+  * HBM diet (VERDICT next 5): forward stores ONLY the bf16 h sequences
+    (2*Hp bytes/cell vs 10*Hp). Backward re-derives the gates from h_seq —
+    those recompute matmuls depend only on *stored* arrays, never on the
+    reverse chain, so they pipeline off the critical path exactly like the
+    forward gi prefetch.
+  * Layer-0 input gates (x @ W_ih0 + b_ih0) stay a single large XLA GEMM
+    outside the kernel (x is the (B,T,in0) decoder input; in0 != H).
+
+Numerics match molvax.nn.gru.gru_forward (torch r|z|n gate order, bf16
+matmuls, fp32 gate math and carries) to bf16-residual tolerance; the
+per-layer kernel keeps serving L=1 stacks and any shape the planner
+rejects. Tests: tests/kernels/test_gru_stack.py (interpret mode, fwd+grads
+vs the jnp reference, SURVEY.md 4.3); on-TPU gate in bench/tpu_validation.py.
+
+END-TO-END OUTCOME (round 2, bench/profile_gru.py on v5 lite): this kernel
+wins the isolated forward (2.2 vs 3.9 ms) but loses fwd+bwd (13.2 vs 9.3 ms
+device time at B=256) — the recompute-gates backward roughly doubles bwd
+MXU work, and on this chip MXU throughput, not HBM residual traffic or
+serial-chain latency, binds the backward. Training therefore routes through
+the per-layer kernel by default (config model.gru_kernel='per_layer'); this
+kernel remains opt-in for forward-dominated callers and hardware where the
+recompute trade flips.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .gru import _interpret, _pad_gates, _pad_tail, _pick_b_blk, _round_up, _unpad_gates
+
+Array = jax.Array
+
+# VMEM budget for block planning. ~120 MB usable was measured on the dev
+# chip (vmem_probe, round 2); plan to 96 MB to leave headroom for Mosaic's
+# own temporaries and smaller parts.
+_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+def _bwd_bytes(L: int, Hp: int, b_blk: int, K: int) -> int:
+    """VMEM bytes for the backward call (the larger of the two sweeps):
+    resident weights (wih, wihT, whh, whhT bf16) + double-buffered
+    grid-indexed blocks + carry/staging scratch."""
+    Gp = 3 * Hp
+    weights = 2 * (L - 1) * Hp * Gp * 2 + 2 * L * Hp * Gp * 2
+    blocks = (
+        K * b_blk * Gp * 2  # gi0 in (bf16)
+        + L * K * b_blk * Hp * 2  # hseq in
+        + L * b_blk * Hp * 2  # hbound in
+        + K * b_blk * Hp * 2  # dtop in (bf16)
+        + L * K * b_blk * Gp * 2  # dgi out
+        + L * K * b_blk * Hp * 2  # r out
+    )
+    scratch = L * b_blk * Hp * 4 + K * b_blk * Hp * 4  # dh carries + dx staging
+    return weights + 2 * blocks + scratch
+
+
+def _plan_blocks(T: int, L: int, Hp: int, B: int) -> Tuple[int, int, int] | None:
+    """Choose (b_blk, K, P): batch rows / timesteps per block, and the
+    number of interleaved batch half-chains.
+
+    P=2 whenever the block splits into two sublane-aligned halves: the
+    kernels software-pipeline the two independent chains so one chain's
+    matmul latency hides behind the other's VPU gate math. Larger K deepens
+    the input-gate prefetch window and amortizes block DMA; prefer the
+    largest K whose backward working set fits the VMEM budget. Returns None
+    when nothing fits (caller falls back to the per-layer kernel)."""
+    b_blk = _pick_b_blk(B)
+    if b_blk is None:
+        return None
+    # Deepest interleave whose chains stay sublane-aligned (16 rows). The
+    # round-2 sweep on v5 lite (B=256, H=501, L=3): P=1 f+b 10.5 ms, P=2
+    # 10.4, P=4 8.7, P=8 8.25 — latency hiding keeps paying down to 16-row
+    # chains. K=8 beat 10/12/15 on f+b (smaller unroll, same pipelining).
+    P = next(p for p in (8, 4, 2, 1) if b_blk % (16 * p) == 0)
+    for K in (8, 10, 12, 6, 15, 5, 20, 4, 24, 3, 2, 1):
+        if T % K == 0 and _bwd_bytes(L, Hp, b_blk, K) <= _VMEM_BUDGET:
+            return b_blk, K, P
+    return None
+
+
+# --------------------------------------------------------------------------
+# forward kernel: layer-sequential sweep inside each (batch, K-step) block
+# --------------------------------------------------------------------------
+
+def _fused_fwd_kernel(
+    gi0_ref, wih_ref, bih_ref, whh_ref, bhh_ref, h0_ref, hseq_ref, hbound_ref, h_scr,
+    *, n_chains: int
+):
+    K = gi0_ref.shape[0]
+    L, b_blk, Hp = h0_ref.shape
+    P = n_chains
+    R = b_blk // P
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+
+    # Block-entry carries: residual for the backward recompute of the first
+    # timestep in this block (h_prev at local k=0).
+    hbound_ref[:, 0] = h_scr[:].astype(jnp.bfloat16)
+
+    rows = lambda c: slice(c * R, (c + 1) * R)
+
+    for l in range(L):
+        h = [h_scr[l, rows(c)] for c in range(P)]  # fp32 carries per chain
+
+        def issue(c, k):
+            # Input gates: layer 0's come precomputed; layers>0 read the
+            # layer-below outputs written during the previous l-iteration —
+            # no dependence on THIS layer's serial chain.
+            if l == 0:
+                gi = gi0_ref[k, rows(c)].astype(jnp.float32)
+            else:
+                gi = (
+                    jnp.dot(
+                        hseq_ref[l - 1, k, rows(c)],
+                        wih_ref[l - 1],
+                        preferred_element_type=jnp.float32,
+                    )
+                    + bih_ref[l - 1]
+                )
+            gh = (
+                jnp.dot(
+                    h[c].astype(jnp.bfloat16),
+                    whh_ref[l],
+                    preferred_element_type=jnp.float32,
+                )
+                + bhh_ref[l]
+            )
+            return gi, gh
+
+        def gates(c, k, gi, gh):
+            r = jax.nn.sigmoid(gi[:, :Hp] + gh[:, :Hp])
+            z = jax.nn.sigmoid(gi[:, Hp : 2 * Hp] + gh[:, Hp : 2 * Hp])
+            n = jnp.tanh(gi[:, 2 * Hp :] + r * gh[:, 2 * Hp :])
+            h[c] = (1.0 - z) * n + z * h[c]
+            hseq_ref[l, k, rows(c)] = h[c].astype(jnp.bfloat16)
+
+        if P == 1:
+            for k in range(K):
+                gi, gh = issue(0, k)
+                gates(0, k, gi, gh)
+        else:
+            # Software pipeline over P independent batch sub-chains: rotate
+            # so chain c's gates retire right after chain c+1's issue —
+            # each chain's h @ W_hh latency hides behind the other chains'
+            # VPU gate math (Mosaic executes the unrolled stream essentially
+            # in order — measured round 2: phase-grouped variants bought
+            # ~4%, this interleave is what overlaps MXU/VPU; for P=2 the
+            # emitted order is exactly issue(c0,k) · gates(c1,k-1) ·
+            # issue(c1,k) · gates(c0,k)).
+            pend = [None] * P
+            for k in range(K):
+                for c in range(P):
+                    new = issue(c, k)
+                    if c == 0:
+                        if k > 0:
+                            gates(P - 1, k - 1, *pend[P - 1])
+                    else:
+                        gates(c - 1, k, *pend[c - 1])
+                    pend[c] = new
+            gates(P - 1, K - 1, *pend[P - 1])
+
+        for c in range(P):
+            h_scr[l, rows(c)] = h[c]
+
+
+def _fused_fwd_call(gi0_p, wih_p, bih_p, whh_p, bhh_p, h0_p, b_blk, K, P):
+    import functools
+
+    T, B, Gp = gi0_p.shape
+    Hp = Gp // 3
+    L = whh_p.shape[0]
+    nB, nT = B // b_blk, T // K
+    const = lambda b, t: (0, 0, 0)
+    return pl.pallas_call(
+        functools.partial(_fused_fwd_kernel, n_chains=P),
+        grid=(nB, nT),
+        in_specs=[
+            pl.BlockSpec((K, b_blk, Gp), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L - 1, Hp, Gp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L - 1, 1, Gp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, Hp, Gp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1, Gp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b_blk, Hp), lambda b, t: (0, b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (L, K, b_blk, Hp), lambda b, t: (0, t, b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (L, 1, b_blk, Hp), lambda b, t: (0, t, b, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, T, B, Hp), jnp.bfloat16),  # h sequences
+            jax.ShapeDtypeStruct((L, nT, B, Hp), jnp.bfloat16),  # block-entry h
+        ],
+        scratch_shapes=[pltpu.VMEM((L, b_blk, Hp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=_interpret(),
+    )(gi0_p, wih_p, bih_p, whh_p, bhh_p, h0_p)
+
+
+# --------------------------------------------------------------------------
+# backward kernel: reverse layer-sequential sweep, gates recomputed
+# --------------------------------------------------------------------------
+
+def _fused_bwd_kernel(
+    gi0_ref,
+    hseq_ref,
+    hbound_ref,
+    dtop_ref,
+    wih_ref,
+    bih_ref,
+    whh_ref,
+    bhh_ref,
+    wihT_ref,
+    whhT_ref,
+    dhf_ref,
+    dgi_ref,
+    r_ref,
+    dh0_ref,
+    dh_scr,
+    dx_scr,
+    *,
+    n_chains: int,
+):
+    K = gi0_ref.shape[0]
+    L, _, b_blk, Hp = hseq_ref.shape
+    P = n_chains
+    R = b_blk // P
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dh_scr[:] = dhf_ref[:]
+
+    rows = lambda c: slice(c * R, (c + 1) * R)
+
+    # Layers in reverse; within a layer, time in reverse. Layer l's upstream
+    # cotangent at step k (dx from layer l+1) was staged into dx_scr[k]
+    # during layer l+1's sweep of this same block. The gate recompute dots
+    # (gi, gh) read only stored arrays — prefetchable; the only serial dot
+    # per cell is dgh @ W_hh^T, and the two-chain interleave (see the
+    # forward kernel) hides its latency behind the other chain's VPU work.
+    for l in range(L - 1, -1, -1):
+        dh = [dh_scr[l, rows(c)] for c in range(P)]
+
+        def issue(c, k):
+            if k > 0:
+                hprev = hseq_ref[l, k - 1, rows(c)].astype(jnp.float32)
+            else:
+                hprev = hbound_ref[l, 0, rows(c)].astype(jnp.float32)
+            if l == 0:
+                gi = gi0_ref[k, rows(c)].astype(jnp.float32)
+            else:
+                gi = (
+                    jnp.dot(
+                        hseq_ref[l - 1, k, rows(c)],
+                        wih_ref[l - 1],
+                        preferred_element_type=jnp.float32,
+                    )
+                    + bih_ref[l - 1]
+                )
+            gh = (
+                jnp.dot(
+                    hprev.astype(jnp.bfloat16),
+                    whh_ref[l],
+                    preferred_element_type=jnp.float32,
+                )
+                + bhh_ref[l]
+            )
+            return hprev, gi, gh
+
+        def gates(c, k, hprev, gi, gh):
+            r = jax.nn.sigmoid(gi[:, :Hp] + gh[:, :Hp])
+            z = jax.nn.sigmoid(gi[:, Hp : 2 * Hp] + gh[:, Hp : 2 * Hp])
+            ghn = gh[:, 2 * Hp :]
+            n = jnp.tanh(gi[:, 2 * Hp :] + r * ghn)
+
+            ext = (
+                dtop_ref[k, rows(c)].astype(jnp.float32)
+                if l == L - 1
+                else dx_scr[k, rows(c)]
+            )
+            dout = dh[c] + ext
+            dz = dout * (hprev - n) * z * (1.0 - z)
+            dn = dout * (1.0 - z) * (1.0 - n * n)
+            dghn = dn * r
+            drpre = dn * ghn * r * (1.0 - r)
+            dgi = jnp.concatenate([drpre, dz, dn], axis=-1)
+            dgh = jnp.concatenate([drpre, dz, dghn], axis=-1)
+            dgi_ref[l, k, rows(c)] = dgi.astype(jnp.bfloat16)
+            r_ref[l, k, rows(c)] = r.astype(jnp.bfloat16)
+            # serial reverse chain (latency hidden by the other chain)
+            dh[c] = dout * z + jnp.dot(
+                dgh.astype(jnp.bfloat16),
+                whhT_ref[l],
+                preferred_element_type=jnp.float32,
+            )
+            if l > 0:
+                # stage layer l-1's upstream cotangent (read-then-write of
+                # dx_scr[k] within this cell keeps RAW/WAR ordering trivial);
+                # independent of the serial chain -> pipelines.
+                dx_scr[k, rows(c)] = jnp.dot(
+                    dgi.astype(jnp.bfloat16),
+                    wihT_ref[l - 1],
+                    preferred_element_type=jnp.float32,
+                )
+
+        if P == 1:
+            for k in range(K - 1, -1, -1):
+                gates(0, k, *issue(0, k))
+        else:
+            # Same rotating interleave as the forward kernel, time reversed.
+            pend = [None] * P
+            for k in range(K - 1, -1, -1):
+                for c in range(P):
+                    new = issue(c, k)
+                    if c == 0:
+                        if k < K - 1:
+                            gates(P - 1, k + 1, *pend[P - 1])
+                    else:
+                        gates(c - 1, k, *pend[c - 1])
+                    pend[c] = new
+            gates(P - 1, 0, *pend[P - 1])
+
+        for c in range(P):
+            dh_scr[l, rows(c)] = dh[c]
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        dh0_ref[:] = dh_scr[:]
+
+
+def _fused_bwd_call(
+    gi0_p, hseq, hbound, dtop, wih_p, bih_p, whh_p, bhh_p, dhf, b_blk, K, P
+):
+    import functools
+
+    L, T, B, Hp = hseq.shape
+    Gp = 3 * Hp
+    nB, nT = B // b_blk, T // K
+    wihT = jnp.swapaxes(wih_p, 1, 2)
+    whhT = jnp.swapaxes(whh_p, 1, 2)
+    rev = lambda b, t: (nT - 1 - t, b, 0)
+    rev4 = lambda b, t: (0, nT - 1 - t, b, 0)
+    const = lambda b, t: (0, 0, 0)
+    return pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, n_chains=P),
+        grid=(nB, nT),
+        in_specs=[
+            pl.BlockSpec((K, b_blk, Gp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, K, b_blk, Hp), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1, b_blk, Hp), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, b_blk, Hp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L - 1, Hp, Gp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L - 1, 1, Gp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, Hp, Gp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1, Gp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L - 1, Gp, Hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, Gp, Hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b_blk, Hp), lambda b, t: (0, b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((L, K, b_blk, Gp), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, K, b_blk, Hp), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b_blk, Hp), lambda b, t: (0, b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, T, B, Gp), jnp.bfloat16),  # dgi
+            jax.ShapeDtypeStruct((L, T, B, Hp), jnp.bfloat16),  # recomputed r
+            jax.ShapeDtypeStruct((L, B, Hp), jnp.float32),  # dh0
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((L, b_blk, Hp), jnp.float32),
+            pltpu.VMEM((K, b_blk, Hp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=_interpret(),
+    )(gi0_p, hseq, hbound, dtop, wih_p, bih_p, whh_p, bhh_p, wihT, whhT, dhf)
+
+
+# --------------------------------------------------------------------------
+# custom-VJP wrapper
+# --------------------------------------------------------------------------
+
+@jax.custom_vjp
+def gru_stack_scan(
+    gi0_seq: Array,
+    wih: Array,
+    bih: Array,
+    whh: Array,
+    bhh: Array,
+    h0: Array,
+) -> Tuple[Array, Array]:
+    """Full stacked-GRU recurrence, fused into one kernel.
+
+    gi0_seq: (T, B, 3H)  layer-0 input gates, precomputed (x @ W_ih0 + b_ih0)
+    wih:     (L-1, H, 3H) input weights of layers 1..L-1
+    bih:     (L-1, 3H)
+    whh:     (L, H, 3H)
+    bhh:     (L, 3H)
+    h0:      (L, B, H)
+    returns (out_seq (T, B, H) fp32 — top-layer outputs, h_final (L, B, H)).
+
+    Same math as running molvax.nn.gru.gru_layer_recurrence layer by layer
+    (torch r|z|n gate order). Caller must have checked stack_plan_ok()."""
+    out, _ = _stack_fwd(gi0_seq, wih, bih, whh, bhh, h0)
+    return out
+
+
+def _stack_fwd(gi0_seq, wih, bih, whh, bhh, h0):
+    T, B, G = gi0_seq.shape
+    H = G // 3
+    L = whh.shape[0]
+    Hp = _round_up(H, 128)
+    plan = _plan_blocks(T, L, Hp, B)
+    assert plan is not None, "caller must gate on stack_plan_ok()"
+    b_blk, K, P = plan
+
+    gi0_p = _pad_gates(gi0_seq, H, Hp).astype(jnp.bfloat16)
+    wih_p = _pad_gates(_pad_tail(wih, 1, Hp), H, Hp).astype(jnp.bfloat16)
+    bih_p = _pad_gates(bih, H, Hp).astype(jnp.float32)[:, None, :]
+    whh_p = _pad_gates(_pad_tail(whh, 1, Hp), H, Hp).astype(jnp.bfloat16)
+    bhh_p = _pad_gates(bhh, H, Hp).astype(jnp.float32)[:, None, :]
+    h0_p = _pad_tail(h0.astype(jnp.float32), 2, Hp)
+
+    hseq, hbound = _fused_fwd_call(gi0_p, wih_p, bih_p, whh_p, bhh_p, h0_p, b_blk, K, P)
+    out_seq = hseq[L - 1, :, :, :H].astype(jnp.float32)
+    h_final = hseq[:, T - 1, :, :H].astype(jnp.float32)
+    res = (gi0_p, hseq, hbound, wih_p, bih_p, whh_p, bhh_p, wih, whh, h0)
+    return (out_seq, h_final), res
+
+
+def _stack_vjp_fwd(gi0_seq, wih, bih, whh, bhh, h0):
+    return _stack_fwd(gi0_seq, wih, bih, whh, bhh, h0)
+
+
+def _stack_vjp_bwd(res, cots):
+    dY, dhf = cots
+    gi0_p, hseq, hbound, wih_p, bih_p, whh_p, bhh_p, wih, whh, h0 = res
+    L, T, B, Hp = hseq.shape
+    H = whh.shape[1]
+    b_blk, K, P = _plan_blocks(T, L, Hp, B)
+
+    dtop = _pad_tail(dY, 2, Hp).astype(jnp.bfloat16)
+    dhf_p = _pad_tail(dhf.astype(jnp.float32), 2, Hp)
+
+    dgi_all, r_all, dh0_p = _fused_bwd_call(
+        gi0_p, hseq, hbound, dtop, wih_p, bih_p, whh_p, bhh_p, dhf_p, b_blk, K, P
+    )
+
+    # dgh differs from dgi only in the n gate (scaled by the recomputed r);
+    # build it lazily so XLA fuses the multiply into the GEMM operand reads.
+    dgh_all = jnp.concatenate(
+        [dgi_all[..., : 2 * Hp], dgi_all[..., 2 * Hp :] * r_all], axis=-1
+    )
+
+    # Weight/bias gradients: large MXU GEMM reductions over (T, B), outside
+    # the kernel. h_prev sequences come from slices of hseq (no copies):
+    # hprev[l] = [h0[l], hseq[l, :-1]].
+    h0_pb = _pad_tail(h0.astype(jnp.bfloat16), 2, Hp)
+    dwhh_p = jnp.einsum(
+        "ltbh,ltbg->lhg", hseq[:, :-1], dgh_all[:, 1:], preferred_element_type=jnp.float32
+    ) + jnp.einsum("lbh,lbg->lhg", h0_pb, dgh_all[:, 0], preferred_element_type=jnp.float32)
+    dbhh_p = jnp.sum(dgh_all.astype(jnp.float32), axis=(1, 2))
+    # Layers 1..L-1: x inputs are the layer-below h sequences.
+    dwih_p = jnp.einsum(
+        "ltbh,ltbg->lhg", hseq[:-1], dgi_all[1:], preferred_element_type=jnp.float32
+    )
+    dbih_p = jnp.sum(dgi_all[1:].astype(jnp.float32), axis=(1, 2))
+
+    dgi0 = _unpad_gates(dgi_all[0], H, Hp).astype(jnp.float32)
+    dwih = _unpad_gates(dwih_p[:, :H], H, Hp)
+    dbih = _unpad_gates(dbih_p, H, Hp)
+    dwhh = _unpad_gates(dwhh_p[:, :H], H, Hp)
+    dbhh = _unpad_gates(dbhh_p, H, Hp)
+    dh0 = dh0_p[:, :, :H]
+    return dgi0, dwih, dbih, dwhh, dbhh, dh0
+
+
+gru_stack_scan.defvjp(_stack_vjp_fwd, _stack_vjp_bwd)
+
+
+def stack_plan_ok(layers: List, B: int, T: int) -> bool:
+    """True if the fused stack kernel supports this stack: >=2 layers, all
+    hidden-to-hidden shapes equal (layers 1+ take H-dim inputs), and a
+    (b_blk, K) block plan fits the VMEM budget."""
+    L = len(layers)
+    if L < 2:
+        return False
+    H = layers[0]["w_hh"].shape[0]
+    for layer in layers[1:]:
+        if layer["w_ih"].shape != (H, 3 * H) or layer["w_hh"].shape != (H, 3 * H):
+            return False
+    return _plan_blocks(T, L, _round_up(H, 128), B) is not None
+
+
+def gru_forward_faithful(
+    layers: List,
+    x_seq: Array,
+    h0: Array | None = None,
+    round_gi: str = "first",
+) -> Tuple[Array, Array]:
+    """jnp twin of the Pallas recurrence paths with IDENTICAL rounding points.
+
+    round_gi='first' mirrors the fused-stack kernel (only layer 0's input
+    gates are stored bf16; deeper layers compute theirs in-kernel at fp32);
+    round_gi='all' mirrors the per-layer kernel, whose wrapper rounds every
+    layer's hoisted input-gate GEMM to bf16 at the pallas_call boundary.
+
+    The generic jnp reference (molvax.nn.gru.gru_forward) keeps h fp32
+    end-to-end, so its trajectory diverges from any kernel that stores bf16
+    h sequences — the gap grows with training (the recurrence amplifies
+    rounding differences), which made a fixed kernel-vs-reference tolerance
+    flaky on trained weights. This twin rounds exactly where the fused
+    kernel rounds: gi0 to bf16 after the bias add, h_seq to bf16 between
+    layers and at the output, fp32 gate math and carries, bf16 matmul
+    operands with fp32 accumulation. Compiled-vs-XLA comparison against it
+    isolates genuine Mosaic regressions from bf16 trajectory divergence
+    (the only remaining difference is MXU accumulation order)."""
+    B, T, _ = x_seq.shape
+    L = len(layers)
+    H = layers[0]["w_hh"].shape[0]
+    bf = jnp.bfloat16
+    if h0 is None:
+        h0 = jnp.zeros((L, B, H), dtype=jnp.float32)
+
+    gi_seq = (
+        jnp.dot(
+            x_seq.astype(bf),
+            layers[0]["w_ih"].astype(bf),
+            preferred_element_type=jnp.float32,
+        )
+        + layers[0]["b_ih"]
+    ).astype(bf)  # the kernel stores layer-0 input gates as bf16
+    gi_seq = jnp.swapaxes(gi_seq, 0, 1).astype(jnp.float32)  # (T, B, 3H)
+
+    hseq_bf = None
+    h_final = []
+    for l in range(L):
+        if l > 0:
+            gi_seq = (
+                jnp.dot(
+                    hseq_bf,
+                    layers[l]["w_ih"].astype(bf),
+                    preferred_element_type=jnp.float32,
+                )
+                + layers[l]["b_ih"]
+            )  # fused kernel: fp32, computed in-kernel from bf16 h
+            if round_gi == "all":  # per-layer kernel stores gi as bf16
+                gi_seq = gi_seq.astype(bf).astype(jnp.float32)
+        w_hh = layers[l]["w_hh"].astype(bf)
+        b_hh = layers[l]["b_hh"]
+
+        def step(h, gi_t):
+            gh = (
+                jnp.dot(h.astype(bf), w_hh, preferred_element_type=jnp.float32)
+                + b_hh
+            )
+            r = jax.nn.sigmoid(gi_t[..., :H] + gh[..., :H])
+            z = jax.nn.sigmoid(gi_t[..., H : 2 * H] + gh[..., H : 2 * H])
+            n = jnp.tanh(gi_t[..., 2 * H :] + r * gh[..., 2 * H :])
+            h_new = (1.0 - z) * n + z * h
+            return h_new, h_new.astype(bf)
+
+        _, hseq_bf = jax.lax.scan(step, h0[l], gi_seq)
+        # kernel h_final reads the bf16-stored last step, not the fp32 carry
+        h_final.append(hseq_bf[-1].astype(jnp.float32))
+    out = jnp.swapaxes(hseq_bf, 0, 1).astype(jnp.float32)
+    return out, jnp.stack(h_final)
+
+
+def gru_forward_wavefront(
+    layers: List,
+    x_seq: Array,
+    h0: Array | None = None,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[Array, Array]:
+    """Drop-in for molvax.nn.gru.gru_forward via the fused stack kernel.
+
+    x_seq (B, T, in0) -> (out (B, T, H), h_final (L, B, H)). Layer-0 input
+    gates are one large XLA GEMM; everything else is the fused kernel.
+    (Name kept from the wavefront-scheduled first cut; the schedule is now
+    layer-sequential — see module docstring for the measured reasons.)"""
+    B, T, _ = x_seq.shape
+    L = len(layers)
+    H = layers[0]["w_hh"].shape[0]
+    cd = compute_dtype
+    if h0 is None:
+        h0 = jnp.zeros((L, B, H), dtype=jnp.float32)
+
+    gi0 = (
+        jnp.dot(
+            x_seq.astype(cd),
+            layers[0]["w_ih"].astype(cd),
+            preferred_element_type=jnp.float32,
+        )
+        + layers[0]["b_ih"]
+    )  # (B, T, 3H)
+    wih = jnp.stack([l["w_ih"] for l in layers[1:]])
+    bih = jnp.stack([l["b_ih"] for l in layers[1:]])
+    whh = jnp.stack([l["w_hh"] for l in layers])
+    bhh = jnp.stack([l["b_hh"] for l in layers])
+    out_tbf, h_final = gru_stack_scan(
+        jnp.swapaxes(gi0, 0, 1), wih, bih, whh, bhh, h0
+    )
+    return jnp.swapaxes(out_tbf, 0, 1), h_final

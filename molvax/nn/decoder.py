@@ -108,7 +108,9 @@ def decode(
     if cfg.use_pallas and _pallas_available():
         from ..kernels.gru import gru_forward_pallas
 
-        outputs, _ = gru_forward_pallas(params["gru"], x_seq, compute_dtype=cd)
+        outputs, _ = gru_forward_pallas(
+            params["gru"], x_seq, compute_dtype=cd, kernel=cfg.gru_kernel
+        )
     else:
         outputs, _ = gru_forward(params["gru"], x_seq, compute_dtype=cd)
     logits = linear(params["linear_out"], outputs, cd)  # (B, T, C)

@@ -44,6 +44,23 @@ def assert_finite(tree, name: str = "tree") -> None:
         checkify.check(ok, f"non-finite values in {label}")
 
 
+def enable_persistent_cache(path: str = "/tmp/molvax_jax_cache") -> bool:
+    """Turn on JAX's on-disk compilation cache (best effort).
+
+    Mosaic compiles of the deep-unrolled GRU kernels cost minutes through
+    the remote PJRT tunnel and were being re-paid by every fresh process
+    (bench, validation, CLI). The persistent cache keys on HLO + compile
+    options, so repeat invocations skip straight to execution. Returns
+    False when the backend/plugin rejects the cache (never fatal)."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        return True
+    except Exception:
+        return False
+
+
 def checked(fn):
     """Wrap a jittable fn so assert_finite/checkify.check failures raise:
     `loss, = molvax.utils.checked(step)(...)`."""

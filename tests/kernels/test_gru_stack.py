@@ -1,0 +1,185 @@
+"""Wavefront stacked-GRU kernel vs the jnp reference (SURVEY.md 4.3).
+
+Interpret mode on CPU: forward values and every gradient through the custom
+VJP must match molvax.nn.gru.gru_forward. Shapes are chosen so the planner's
+block decomposition is actually exercised (single-block AND multi-block with
+cross-block carries + hbound residuals)."""
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from molvax.kernels.gru_stack import (
+    _plan_blocks,
+    gru_forward_wavefront,
+    gru_stack_scan,
+    stack_plan_ok,
+)
+from molvax.nn.gru import gru_forward, init_gru_params
+
+ATOL = 5e-2
+RTOL = 5e-2
+
+
+@pytest.mark.parametrize(
+    "B,T,I,H,L",
+    [
+        (16, 12, 10, 130, 3),  # single time block (K=12)
+        (16, 14, 9, 130, 2),  # K=2 -> 7 blocks: cross-block carries + hbound
+        (32, 10, 8, 501, 3),  # reference width: per-gate lane padding
+        (128, 12, 10, 130, 2),  # b_blk=128 -> P=8 deep interleave (all chains)
+    ],
+)
+def test_wavefront_matches_reference(B, T, I, H, L):
+    layers = init_gru_params(jax.random.key(0), I, H, L)
+    x_seq = jax.random.normal(jax.random.key(1), (B, T, I))
+    assert stack_plan_ok(layers, B, T)
+
+    out_ref, hf_ref = gru_forward(layers, x_seq)
+    out_k, hf_k = gru_forward_wavefront(layers, x_seq)
+    assert out_k.shape == out_ref.shape and hf_k.shape == hf_ref.shape
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_ref), atol=ATOL, rtol=RTOL)
+    np.testing.assert_allclose(np.asarray(hf_k), np.asarray(hf_ref), atol=ATOL, rtol=RTOL)
+
+
+@pytest.mark.parametrize(
+    "B,T",
+    [
+        (16, 12),  # single-block plan, P=1
+        (16, 14),  # multi-block plan (K=2, 7 blocks)
+        (128, 4),  # P=8 deep interleave: all chains through fwd AND bwd kernels
+    ],
+)
+def test_wavefront_grads_match(B, T):
+    I, H, L = 10, 130, 3
+    layers = init_gru_params(jax.random.key(0), I, H, L)
+    x_seq = jax.random.normal(jax.random.key(1), (B, T, I))
+
+    def loss(fwd, layers, x):
+        out, h_final = fwd(layers, x)
+        # touch BOTH outputs so the dh_final cotangent path is exercised
+        return jnp.mean(out**2) + jnp.sum(jnp.sin(h_final))
+
+    g_ref = jax.grad(functools.partial(loss, gru_forward))(layers, x_seq)
+    g_k = jax.grad(functools.partial(loss, gru_forward_wavefront))(layers, x_seq)
+    flat_ref, tdef = jax.tree.flatten(g_ref)
+    flat_k, _ = jax.tree.flatten(g_k)
+    for path, a, b in zip(jax.tree.leaves_with_path(g_ref), flat_ref, flat_k):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=ATOL, rtol=0.1,
+            err_msg=str(path[0]),
+        )
+
+
+def test_wavefront_h0_and_gi_grads():
+    """Direct gru_stack_scan call: gradients w.r.t. gi0 and a nonzero h0."""
+    B, T, H, L = 16, 12, 130, 2
+    layers = init_gru_params(jax.random.key(0), H, H, L)
+    gi0 = jax.random.normal(jax.random.key(1), (T, B, 3 * H)) * 0.5
+    h0 = jax.random.normal(jax.random.key(2), (L, B, H)) * 0.1
+    wih = jnp.stack([l["w_ih"] for l in layers[1:]])
+    bih = jnp.stack([l["b_ih"] for l in layers[1:]])
+    whh = jnp.stack([l["w_hh"] for l in layers])
+    bhh = jnp.stack([l["b_hh"] for l in layers])
+
+    def ref(gi0, wih, bih, whh, bhh, h0):
+        from molvax.nn.gru import gru_layer_recurrence
+
+        h_seq, _ = gru_layer_recurrence(
+            {"w_hh": whh[0], "b_hh": bhh[0]}, gi0, h0[0]
+        )
+        for li in range(1, L):
+            gi = (
+                jnp.einsum("tbh,hg->tbg", h_seq, wih[li - 1]) + bih[li - 1]
+            )
+            h_seq, _ = gru_layer_recurrence(
+                {"w_hh": whh[li], "b_hh": bhh[li]}, gi, h0[li]
+            )
+        return h_seq
+
+    def loss_ref(*args):
+        return jnp.sum(jnp.sin(ref(*args)))
+
+    def loss_k(*args):
+        out, _ = gru_stack_scan(*args)
+        return jnp.sum(jnp.sin(out))
+
+    out_k, _ = gru_stack_scan(gi0, wih, bih, whh, bhh, h0)
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(ref(gi0, wih, bih, whh, bhh, h0)),
+        atol=ATOL, rtol=RTOL,
+    )
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(gi0, wih, bih, whh, bhh, h0)
+    g_k = jax.grad(loss_k, argnums=tuple(range(6)))(gi0, wih, bih, whh, bhh, h0)
+    for name, a, b in zip(["dgi0", "dwih", "dbih", "dwhh", "dbhh", "dh0"], g_ref, g_k):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=ATOL, rtol=0.1, err_msg=name
+        )
+
+
+def test_faithful_twin_tracks_kernel_tightly():
+    """gru_forward_faithful mirrors the kernel's rounding points exactly, so
+    in interpret mode (same accumulation semantics) they must agree to float
+    noise — this is what lets the on-TPU gate keep a tight tolerance."""
+    from molvax.kernels.gru_stack import gru_forward_faithful
+
+    B, T, I, H, L = 16, 14, 9, 130, 2
+    layers = init_gru_params(jax.random.key(0), I, H, L)
+    x_seq = jax.random.normal(jax.random.key(1), (B, T, I))
+    out_f, hf_f = gru_forward_faithful(layers, x_seq)
+    out_k, hf_k = gru_forward_wavefront(layers, x_seq)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_f), atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(hf_k), np.asarray(hf_f), atol=2e-5, rtol=1e-5)
+
+
+def test_plan_blocks_budget():
+    """Planner facts: the production shapes get a plan; L=1 and undecomposable
+    batches are rejected; the plan respects T divisibility."""
+    # reference decoder: H=501 -> Hp=512, L=3, T=120
+    plan = _plan_blocks(120, 3, 512, 256)
+    assert plan is not None
+    b_blk, K, P = plan
+    assert 120 % K == 0 and 256 % b_blk == 0
+    assert P == 8 and (b_blk // P) % 16 == 0  # deep interleave at 128 rows
+    # batch 64 (reference config) must plan too
+    assert _plan_blocks(120, 3, 512, 64) is not None
+    # undecomposable batch -> no plan
+    assert _plan_blocks(120, 3, 512, 50) is None
+    layers1 = init_gru_params(jax.random.key(0), 16, 16, 1)
+    assert not stack_plan_ok(layers1, 16, 12)
+
+
+@pytest.mark.parametrize("kernel", ["per_layer", "fused_stack"])
+def test_forward_pallas_kernel_selection(kernel):
+    """gru_forward_pallas must produce equivalent results whichever kernel
+    the config selects (routing is internal; numerics are the contract)."""
+    from molvax.kernels.gru import gru_forward_pallas
+
+    B, T, I, H, L = 16, 12, 10, 130, 3
+    layers = init_gru_params(jax.random.key(0), I, H, L)
+    x_seq = jax.random.normal(jax.random.key(1), (B, T, I))
+    out_ref, hf_ref = gru_forward(layers, x_seq)
+    out_k, hf_k = gru_forward_pallas(layers, x_seq, kernel=kernel)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_ref), atol=ATOL, rtol=RTOL)
+    np.testing.assert_allclose(np.asarray(hf_k), np.asarray(hf_ref), atol=ATOL, rtol=RTOL)
+
+
+def test_faithful_twin_all_mode_tracks_per_layer():
+    """round_gi='all' mirrors the per-layer kernel's rounding points (every
+    layer's input gates stored bf16) — tight agreement in interpret mode."""
+    from molvax.kernels.gru import gru_forward_pallas
+    from molvax.kernels.gru_stack import gru_forward_faithful
+
+    B, T, I, H, L = 16, 14, 9, 130, 2
+    layers = init_gru_params(jax.random.key(0), I, H, L)
+    x_seq = jax.random.normal(jax.random.key(1), (B, T, I))
+    out_f, hf_f = gru_forward_faithful(layers, x_seq, round_gi="all")
+    out_k, hf_k = gru_forward_pallas(layers, x_seq, kernel="per_layer")
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_f), atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(hf_k), np.asarray(hf_f), atol=2e-5, rtol=1e-5)
