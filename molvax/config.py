@@ -58,16 +58,17 @@ class ModelConfig:
     # low; through this dev box's remote tunnel both paths measure equal.
     use_pallas_generation: bool = False
     # Which Pallas recurrence serves the decoder when use_pallas is on.
-    # 'per_layer' (default): one kernel per layer, residuals stored — the
-    # measured fwd+bwd winner on v5 lite (9.3 vs 13.2 ms device at B=256;
-    # bench/profile_gru.py, round 2). 'fused_stack': all layers in one
-    # kernel with a recompute backward — faster isolated forward, slower
-    # training step; kept for forward-dominated use and future hardware.
-    gru_kernel: str = "per_layer"
+    # 'auto' (default) picks per batch from the measured full-train-step
+    # matrix (bench/step_matrix.py, v5 lite round 2): 'per_layer' (one
+    # kernel per layer, residuals stored) below 512 rows; 'fused_stack'
+    # (all layers in one kernel, weights VMEM-resident) at 512+, where its
+    # fused forward wins and its v2 residual-storing backward holds the
+    # lead. Either can be forced explicitly.
+    gru_kernel: str = "auto"
 
     def __post_init__(self):
         assert self.conv_orientation in ("seq", "charset")
-        assert self.gru_kernel in ("per_layer", "fused_stack")
+        assert self.gru_kernel in ("auto", "per_layer", "fused_stack")
         assert self.decoder_conditioning in ("teacher_forced", "repeat_z")
         assert self.recon_loss in ("ce", "bce")
         assert len(self.conv_channels) == len(self.conv_kernels)
@@ -82,6 +83,12 @@ class KLScheduleConfig:
     warmup_steps: int = 2000  # linear: steps to reach beta_max
     cycle_steps: int = 10000  # cyclical: period
     ratio: float = 0.5  # cyclical: fraction of cycle spent ramping
+    # Free bits (nats per latent dim): the loss KL is sum(max(kl_i, fb)),
+    # so dims already below the floor stop being pushed toward the prior.
+    # Guards against posterior collapse — measured round 2: beta-annealed-
+    # to-1 training collapsed to 2.9 total nats over 292 dims and capped
+    # free-running round-trip accuracy at ~70%. 0 = off (reference parity).
+    free_bits: float = 0.0
 
     def __post_init__(self):
         assert self.kind in ("constant", "linear", "cyclical")
@@ -195,16 +202,22 @@ def zinc250k() -> Config:
 
 def zinc250k_quality() -> Config:
     """Preset 2b: zinc250k + free-running decode fidelity (VERDICT r1 weak 6):
-    scheduled sampling ramps to 25% model-fed inputs over the first KL cycle.
-    The second (stop-gradient prediction) decode pass costs ~40% step
-    throughput, so it lives in its own preset; `zinc250k` stays the pure
-    teacher-forced production trainer the benchmarks compare against."""
+    scheduled sampling ramps to 25% model-fed inputs over the first KL cycle,
+    and a free-bits KL floor keeps the latent informative (without it the
+    posterior collapsed to ~3 nats / 292 dims at beta=1 and round-trip
+    accuracy capped at ~70%). The second (stop-gradient prediction) decode
+    pass costs ~40% step throughput, so this lives in its own preset;
+    `zinc250k` stays the pure teacher-forced production trainer the
+    benchmarks compare against."""
     cfg = zinc250k()
     return dataclasses.replace(
         cfg,
         name="zinc250k_quality",
         train=dataclasses.replace(
-            cfg.train, scheduled_sampling=0.25, scheduled_sampling_warmup=3000
+            cfg.train,
+            scheduled_sampling=0.25,
+            scheduled_sampling_warmup=3000,
+            kl=dataclasses.replace(cfg.train.kl, free_bits=0.1),
         ),
     )
 

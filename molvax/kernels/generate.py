@@ -39,7 +39,11 @@ from .sampler import _seed_from_key
 Array = jax.Array
 
 _B_BLK = 128
-_WEIGHT_BUDGET = 11 * 1024 * 1024  # bf16 decoder weights must fit VMEM
+# bf16 decoder weights must stay VMEM-resident across the whole decode loop.
+# The v5-lite dev chip measured ~120 MB usable VMEM (round-2 probe; far above
+# the 16 MB/core planning figure), so 64 MB of weights + carries/logits fits
+# comfortably — this admits the scaled 4xGRU-1024 decoder (~45 MB bf16).
+_WEIGHT_BUDGET = 64 * 1024 * 1024
 
 
 def _interpret() -> bool:
@@ -227,6 +231,7 @@ def fused_generate(
             (T, b_blk), lambda b: (0, b), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((T, B), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
     )(*args)
     return jnp.swapaxes(codes_tb, 0, 1)

@@ -31,6 +31,7 @@ check interpret-mode agreement incl. gradients (SURVEY.md 4.3).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Tuple
 
 import jax
@@ -114,32 +115,83 @@ def _unpad_gates(x: Array, H: int, Hp: int) -> Array:
 # forward kernel
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(gi_ref, w_ref, b_ref, h0_ref, hseq_ref, rzn_ref, ghn_ref, h_scr):
+def _pick_chains(b_blk: int) -> int:
+    """Independent batch sub-chains per block (1 = plain serial loop).
+
+    Splitting the block's rows into P interleaved chains hides serial
+    h @ W_hh latency in the FUSED stack kernel (gru_stack.py, where
+    in-kernel input-gate dots keep the MXU busy), but a round-2 sweep on
+    THIS kernel measured it monotonically harmful — v5 lite, B=256 f+b:
+    P=1 11.84 ms, P=2 11.87, P=4 12.12, P=8 12.47. With the input GEMMs
+    hoisted outside, the lone recurrence dot is throughput- not
+    latency-bound, and 16-row chain tiles just waste VPU lanes. Default 1;
+    MOLVAX_GRU_CHAINS (divisor of b_blk/16) re-enables for sweeps on other
+    hardware."""
+    import os
+
+    forced = os.environ.get("MOLVAX_GRU_CHAINS")
+    if forced:
+        p = int(forced)
+        return p if b_blk % (16 * p) == 0 else 1
+    return 1
+
+
+def _fwd_kernel(
+    gi_ref, w_ref, b_ref, h0_ref, hseq_ref, rzn_ref, ghn_ref, h_scr, *, n_chains: int
+):
     K = gi_ref.shape[0]
-    Hp = h0_ref.shape[1]
+    b_blk, Hp = h0_ref.shape
+    P = n_chains
+    R = b_blk // P
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         h_scr[:] = h0_ref[:]
 
-    h = h_scr[:]  # (B_BLK, Hp) fp32 carry
-    for k in range(K):
+    rows = lambda c: slice(c * R, (c + 1) * R)
+    h = [h_scr[rows(c)] for c in range(P)]  # fp32 carries per chain
+
+    def issue(c, k):
         gh = (
             jnp.dot(
-                h.astype(jnp.bfloat16), w_ref[:], preferred_element_type=jnp.float32
+                h[c].astype(jnp.bfloat16), w_ref[:], preferred_element_type=jnp.float32
             )
             + b_ref[:]
         )
-        gi = gi_ref[k].astype(jnp.float32)
+        gi = gi_ref[k, rows(c)].astype(jnp.float32)
+        return gi, gh
+
+    def gates(c, k, gi, gh):
         r = jax.nn.sigmoid(gi[:, :Hp] + gh[:, :Hp])
         z = jax.nn.sigmoid(gi[:, Hp : 2 * Hp] + gh[:, Hp : 2 * Hp])
         ghn = gh[:, 2 * Hp :]
         n = jnp.tanh(gi[:, 2 * Hp :] + r * ghn)
-        h = (1.0 - z) * n + z * h
-        hseq_ref[k] = h.astype(jnp.bfloat16)
-        rzn_ref[k] = jnp.concatenate([r, z, n], axis=-1).astype(jnp.bfloat16)
-        ghn_ref[k] = ghn.astype(jnp.bfloat16)
-    h_scr[:] = h
+        h[c] = (1.0 - z) * n + z * h[c]
+        hseq_ref[k, rows(c)] = h[c].astype(jnp.bfloat16)
+        rzn_ref[k, rows(c)] = jnp.concatenate([r, z, n], axis=-1).astype(jnp.bfloat16)
+        ghn_ref[k, rows(c)] = ghn.astype(jnp.bfloat16)
+
+    if P == 1:
+        for k in range(K):
+            gates(0, k, *issue(0, k))
+    else:
+        # Rotating software pipeline: chain c's gates retire right after
+        # chain c+1's issue (see _pick_chains; same emit order as the
+        # fused-stack kernel in gru_stack.py).
+        pend = [None] * P
+        for k in range(K):
+            for c in range(P):
+                new = issue(c, k)
+                if c == 0:
+                    if k > 0:
+                        gates(P - 1, k - 1, *pend[P - 1])
+                else:
+                    gates(c - 1, k, *pend[c - 1])
+                pend[c] = new
+        gates(P - 1, K - 1, *pend[P - 1])
+
+    for c in range(P):
+        h_scr[rows(c)] = h[c]
 
 
 def _fwd_call(gi_p: Array, w_p: Array, b_p: Array, h0_p: Array):
@@ -149,7 +201,7 @@ def _fwd_call(gi_p: Array, w_p: Array, b_p: Array, h0_p: Array):
     K = _time_block(T, Hp, 16 * Hp, b_blk)
     nB, nT = B // b_blk, T // K
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, n_chains=_pick_chains(b_blk)),
         grid=(nB, nT),
         in_specs=[
             pl.BlockSpec((K, b_blk, Gp), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
@@ -177,23 +229,43 @@ def _fwd_call(gi_p: Array, w_p: Array, b_p: Array, h0_p: Array):
 # --------------------------------------------------------------------------
 
 def _bwd_kernel(
-    dy_ref, rzn_ref, ghn_ref, hprev_ref, wt_ref, dgi_ref, dgh_ref, dh0_ref, dh_scr
+    dy_ref,
+    rzn_ref,
+    ghn_ref,
+    hprev_ref,
+    wt_ref,
+    dgi_ref,
+    dgh_ref,
+    dh0_ref,
+    dh_scr,
+    *,
+    n_chains: int,
 ):
     K = dy_ref.shape[0]
-    Hp = dh0_ref.shape[1]
+    b_blk, Hp = dh0_ref.shape
+    P = n_chains
+    R = b_blk // P
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         dh_scr[:] = jnp.zeros_like(dh_scr)
 
-    dh = dh_scr[:]
-    for k in range(K - 1, -1, -1):
-        dout = dy_ref[k] + dh
-        rzn = rzn_ref[k].astype(jnp.float32)
-        r, z, n = rzn[:, :Hp], rzn[:, Hp : 2 * Hp], rzn[:, 2 * Hp :]
-        ghn = ghn_ref[k].astype(jnp.float32)
-        h_prev = hprev_ref[k].astype(jnp.float32)
+    rows = lambda c: slice(c * R, (c + 1) * R)
+    dh = [dh_scr[rows(c)] for c in range(P)]
 
+    def issue(c, k):
+        # residual loads only — prefetchable, independent of the serial
+        # reverse chain; the chain's dgh @ W^T dot sits in gates() and its
+        # latency hides behind the other chains' gate math.
+        rzn = rzn_ref[k, rows(c)].astype(jnp.float32)
+        ghn = ghn_ref[k, rows(c)].astype(jnp.float32)
+        h_prev = hprev_ref[k, rows(c)].astype(jnp.float32)
+        dy = dy_ref[k, rows(c)]
+        return rzn, ghn, h_prev, dy
+
+    def gates(c, k, rzn, ghn, h_prev, dy):
+        r, z, n = rzn[:, :Hp], rzn[:, Hp : 2 * Hp], rzn[:, 2 * Hp :]
+        dout = dy + dh[c]
         dz = dout * (h_prev - n) * z * (1.0 - z)
         dn = dout * (1.0 - z) * (1.0 - n * n)
         dghn = dn * r
@@ -201,12 +273,30 @@ def _bwd_kernel(
         drpre = dr * r * (1.0 - r)
         dgi = jnp.concatenate([drpre, dz, dn], axis=-1)
         dgh = jnp.concatenate([drpre, dz, dghn], axis=-1)
-        dh = dout * z + jnp.dot(
+        dh[c] = dout * z + jnp.dot(
             dgh.astype(jnp.bfloat16), wt_ref[:], preferred_element_type=jnp.float32
         )
-        dgi_ref[k] = dgi.astype(jnp.bfloat16)
-        dgh_ref[k] = dgh.astype(jnp.bfloat16)
-    dh_scr[:] = dh
+        dgi_ref[k, rows(c)] = dgi.astype(jnp.bfloat16)
+        dgh_ref[k, rows(c)] = dgh.astype(jnp.bfloat16)
+
+    if P == 1:
+        for k in range(K - 1, -1, -1):
+            gates(0, k, *issue(0, k))
+    else:
+        pend = [None] * P
+        for k in range(K - 1, -1, -1):
+            for c in range(P):
+                new = issue(c, k)
+                if c == 0:
+                    if k < K - 1:
+                        gates(P - 1, k + 1, *pend[P - 1])
+                else:
+                    gates(c - 1, k, *pend[c - 1])
+                pend[c] = new
+        gates(P - 1, 0, *pend[P - 1])
+
+    for c in range(P):
+        dh_scr[rows(c)] = dh[c]
 
     @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
     def _():
@@ -221,7 +311,7 @@ def _bwd_call(dy_p, rzn, ghn, hprev_p, wt_p):
     nB, nT = B // b_blk, T // K
     rev3 = lambda b, t: (nT - 1 - t, b, 0)
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, n_chains=_pick_chains(b_blk)),
         grid=(nB, nT),
         in_specs=[
             pl.BlockSpec((K, b_blk, Hp), rev3, memory_space=pltpu.VMEM),
@@ -327,21 +417,20 @@ def gru_forward_pallas(
     x_seq: Array,
     h0: Array | None = None,
     compute_dtype=jnp.bfloat16,
-    kernel: str = "per_layer",
+    kernel: str = "auto",
 ) -> Tuple[Array, Array]:
     """Drop-in for molvax.nn.gru.gru_forward: hoisted input GEMMs (XLA) +
     Pallas recurrence. x_seq (B, T, in) -> (out (B, T, H), h_final).
 
-    kernel='per_layer' (default): one recurrence kernel per layer, gate
-    residuals stored for the backward. kernel='fused_stack': the all-layers
-    kernel (molvax/kernels/gru_stack.py), which wins the isolated forward
-    (2.2 vs 3.9 ms at B=256/H=501/L=3 on v5 lite) but LOSES fwd+bwd
-    end-to-end (13.2 vs 9.3 ms device time, profiled round 2): its
-    recompute-gates backward trades stored residuals for ~2x the bwd matmul
-    work, and on this chip MXU throughput — not HBM traffic or serial-chain
-    latency — binds the backward. Training therefore defaults to per_layer;
-    the fused kernel stays for forward-dominated callers and future chips
-    where the trade flips (config: model.gru_kernel).
+    kernel='per_layer': one recurrence kernel per layer, gate residuals
+    stored for the backward. kernel='fused_stack': the all-layers kernel
+    (molvax/kernels/gru_stack.py) — wins the isolated forward (its in-kernel
+    input-gate dots keep the MXU warm through the serial chain) and, with
+    its v2 residual-storing backward, wins fwd+bwd at large batch.
+    kernel='auto' (default) picks from the round-2 full-train-step matrix on
+    v5 lite (bench/step_matrix.py): per_layer 23.4k/21.3k SMILES/s at
+    B=256/512, fused_stack 22.0k/22.8k — so per_layer below 512 rows,
+    fused_stack at 512 and above.
 
     Falls back to the per-layer kernel when the stack shape or VMEM plan
     rules the fused kernel out, and to the pure-XLA scan when the batch is
@@ -352,6 +441,8 @@ def gru_forward_pallas(
 
         return gru_forward(layers, x_seq, h0, compute_dtype)
 
+    if kernel == "auto":
+        kernel = "fused_stack" if B >= 512 else "per_layer"
     if kernel == "fused_stack":
         from .gru_stack import gru_forward_wavefront, stack_plan_ok
 

@@ -23,28 +23,27 @@ far above the 16 MB planning figure; blocks are sized by _plan_blocks):
 
   * All weights (W_ih of layers 1..L-1 + W_hh of all layers) stay in VMEM
     across the whole sweep; layers>0 input gates are computed in-kernel.
-  * HBM diet (VERDICT next 5): forward stores ONLY the bf16 h sequences
-    (2*Hp bytes/cell vs 10*Hp). Backward re-derives the gates from h_seq —
-    those recompute matmuls depend only on *stored* arrays, never on the
-    reverse chain, so they pipeline off the critical path exactly like the
-    forward gi prefetch.
   * Layer-0 input gates (x @ W_ih0 + b_ih0) stay a single large XLA GEMM
     outside the kernel (x is the (B,T,in0) decoder input; in0 != H).
+
+BACKWARD, v2 (round-2 iteration). v1 stored only the bf16 h sequences and
+re-derived the gates in the backward ("HBM diet", VERDICT r1 next 5). That
+was measured SLOWER end-to-end than the per-layer kernel (13.2 vs 9.3 ms
+device f+b at B=256, bench/profile_gru.py): the recompute roughly doubled
+backward MXU work, and on this chip MXU throughput — not HBM residual
+traffic or serial-chain latency — binds the backward (per-sample throughput
+was flat 256->512 either way, so the saved HBM bought nothing). v2 therefore
+stores the r|z|n and gh_n residuals in the forward (8*Hp extra bytes/cell,
+off the critical path) and the backward consumes them directly: per cell
+only the serial dgh @ W_hh^T dot plus the dx staging dot remain, and it
+emits dgh directly (saving the (L,T,B,3Hp) concat materialization v1 paid
+outside the kernel).
 
 Numerics match molvax.nn.gru.gru_forward (torch r|z|n gate order, bf16
 matmuls, fp32 gate math and carries) to bf16-residual tolerance; the
 per-layer kernel keeps serving L=1 stacks and any shape the planner
 rejects. Tests: tests/kernels/test_gru_stack.py (interpret mode, fwd+grads
 vs the jnp reference, SURVEY.md 4.3); on-TPU gate in bench/tpu_validation.py.
-
-END-TO-END OUTCOME (round 2, bench/profile_gru.py on v5 lite): this kernel
-wins the isolated forward (2.2 vs 3.9 ms) but loses fwd+bwd (13.2 vs 9.3 ms
-device time at B=256) — the recompute-gates backward roughly doubles bwd
-MXU work, and on this chip MXU throughput, not HBM residual traffic or
-serial-chain latency, binds the backward. Training therefore routes through
-the per-layer kernel by default (config model.gru_kernel='per_layer'); this
-kernel remains opt-in for forward-dominated callers and hardware where the
-recompute trade flips.
 """
 
 from __future__ import annotations
@@ -68,17 +67,19 @@ _VMEM_BUDGET = 96 * 1024 * 1024
 
 def _bwd_bytes(L: int, Hp: int, b_blk: int, K: int) -> int:
     """VMEM bytes for the backward call (the larger of the two sweeps):
-    resident weights (wih, wihT, whh, whhT bf16) + double-buffered
+    resident transposed weights (wihT, whhT bf16) + double-buffered
     grid-indexed blocks + carry/staging scratch."""
     Gp = 3 * Hp
-    weights = 2 * (L - 1) * Hp * Gp * 2 + 2 * L * Hp * Gp * 2
+    weights = (L - 1) * Gp * Hp * 2 + L * Gp * Hp * 2
     blocks = (
-        K * b_blk * Gp * 2  # gi0 in (bf16)
-        + L * K * b_blk * Hp * 2  # hseq in
+        L * K * b_blk * Hp * 2  # hseq in
         + L * b_blk * Hp * 2  # hbound in
+        + L * K * b_blk * Gp * 2  # rzn in
+        + L * K * b_blk * Hp * 2  # ghn in
         + K * b_blk * Hp * 2  # dtop in (bf16)
+        + L * b_blk * Hp * 4  # dhf in (fp32)
         + L * K * b_blk * Gp * 2  # dgi out
-        + L * K * b_blk * Hp * 2  # r out
+        + L * K * b_blk * Gp * 2  # dgh out
     )
     scratch = L * b_blk * Hp * 4 + K * b_blk * Hp * 4  # dh carries + dx staging
     return weights + 2 * blocks + scratch
@@ -113,8 +114,19 @@ def _plan_blocks(T: int, L: int, Hp: int, B: int) -> Tuple[int, int, int] | None
 # --------------------------------------------------------------------------
 
 def _fused_fwd_kernel(
-    gi0_ref, wih_ref, bih_ref, whh_ref, bhh_ref, h0_ref, hseq_ref, hbound_ref, h_scr,
-    *, n_chains: int
+    gi0_ref,
+    wih_ref,
+    bih_ref,
+    whh_ref,
+    bhh_ref,
+    h0_ref,
+    hseq_ref,
+    hbound_ref,
+    rzn_ref,
+    ghn_ref,
+    h_scr,
+    *,
+    n_chains: int,
 ):
     K = gi0_ref.shape[0]
     L, b_blk, Hp = h0_ref.shape
@@ -125,8 +137,8 @@ def _fused_fwd_kernel(
     def _():
         h_scr[:] = h0_ref[:]
 
-    # Block-entry carries: residual for the backward recompute of the first
-    # timestep in this block (h_prev at local k=0).
+    # Block-entry carries: h_prev residual for the backward's first local
+    # timestep (k=0) in this block.
     hbound_ref[:, 0] = h_scr[:].astype(jnp.bfloat16)
 
     rows = lambda c: slice(c * R, (c + 1) * R)
@@ -162,9 +174,14 @@ def _fused_fwd_kernel(
         def gates(c, k, gi, gh):
             r = jax.nn.sigmoid(gi[:, :Hp] + gh[:, :Hp])
             z = jax.nn.sigmoid(gi[:, Hp : 2 * Hp] + gh[:, Hp : 2 * Hp])
-            n = jnp.tanh(gi[:, 2 * Hp :] + r * gh[:, 2 * Hp :])
+            ghn = gh[:, 2 * Hp :]
+            n = jnp.tanh(gi[:, 2 * Hp :] + r * ghn)
             h[c] = (1.0 - z) * n + z * h[c]
             hseq_ref[l, k, rows(c)] = h[c].astype(jnp.bfloat16)
+            rzn_ref[l, k, rows(c)] = jnp.concatenate([r, z, n], axis=-1).astype(
+                jnp.bfloat16
+            )
+            ghn_ref[l, k, rows(c)] = ghn.astype(jnp.bfloat16)
 
         if P == 1:
             for k in range(K):
@@ -221,10 +238,18 @@ def _fused_fwd_call(gi0_p, wih_p, bih_p, whh_p, bhh_p, h0_p, b_blk, K, P):
             pl.BlockSpec(
                 (L, 1, b_blk, Hp), lambda b, t: (0, t, b, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(
+                (L, K, b_blk, Gp), lambda b, t: (0, t, b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (L, K, b_blk, Hp), lambda b, t: (0, t, b, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((L, T, B, Hp), jnp.bfloat16),  # h sequences
             jax.ShapeDtypeStruct((L, nT, B, Hp), jnp.bfloat16),  # block-entry h
+            jax.ShapeDtypeStruct((L, T, B, Gp), jnp.bfloat16),  # r|z|n residual
+            jax.ShapeDtypeStruct((L, T, B, Hp), jnp.bfloat16),  # gh_n residual
         ],
         scratch_shapes=[pltpu.VMEM((L, b_blk, Hp), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
@@ -237,27 +262,23 @@ def _fused_fwd_call(gi0_p, wih_p, bih_p, whh_p, bhh_p, h0_p, b_blk, K, P):
 # --------------------------------------------------------------------------
 
 def _fused_bwd_kernel(
-    gi0_ref,
     hseq_ref,
     hbound_ref,
+    rzn_ref,
+    ghn_ref,
     dtop_ref,
-    wih_ref,
-    bih_ref,
-    whh_ref,
-    bhh_ref,
     wihT_ref,
     whhT_ref,
     dhf_ref,
     dgi_ref,
-    r_ref,
+    dgh_ref,
     dh0_ref,
     dh_scr,
     dx_scr,
     *,
     n_chains: int,
 ):
-    K = gi0_ref.shape[0]
-    L, _, b_blk, Hp = hseq_ref.shape
+    L, K, b_blk, Hp = hseq_ref.shape
     P = n_chains
     R = b_blk // P
 
@@ -269,44 +290,28 @@ def _fused_bwd_kernel(
 
     # Layers in reverse; within a layer, time in reverse. Layer l's upstream
     # cotangent at step k (dx from layer l+1) was staged into dx_scr[k]
-    # during layer l+1's sweep of this same block. The gate recompute dots
-    # (gi, gh) read only stored arrays — prefetchable; the only serial dot
-    # per cell is dgh @ W_hh^T, and the two-chain interleave (see the
-    # forward kernel) hides its latency behind the other chain's VPU work.
+    # during layer l+1's sweep of this same block. Gate values come from the
+    # forward's stored residuals (v2: the recompute variant was measured
+    # slower — see module docstring); the only serial dot per cell is
+    # dgh @ W_hh^T, and the chain interleave (see the forward kernel) hides
+    # its latency behind the other chains' VPU work.
     for l in range(L - 1, -1, -1):
         dh = [dh_scr[l, rows(c)] for c in range(P)]
 
         def issue(c, k):
+            # residual loads only — prefetchable, off the serial chain
             if k > 0:
                 hprev = hseq_ref[l, k - 1, rows(c)].astype(jnp.float32)
             else:
                 hprev = hbound_ref[l, 0, rows(c)].astype(jnp.float32)
-            if l == 0:
-                gi = gi0_ref[k, rows(c)].astype(jnp.float32)
-            else:
-                gi = (
-                    jnp.dot(
-                        hseq_ref[l - 1, k, rows(c)],
-                        wih_ref[l - 1],
-                        preferred_element_type=jnp.float32,
-                    )
-                    + bih_ref[l - 1]
-                )
-            gh = (
-                jnp.dot(
-                    hprev.astype(jnp.bfloat16),
-                    whh_ref[l],
-                    preferred_element_type=jnp.float32,
-                )
-                + bhh_ref[l]
-            )
-            return hprev, gi, gh
+            rzn = rzn_ref[l, k, rows(c)].astype(jnp.float32)
+            ghn = ghn_ref[l, k, rows(c)].astype(jnp.float32)
+            return hprev, rzn, ghn
 
-        def gates(c, k, hprev, gi, gh):
-            r = jax.nn.sigmoid(gi[:, :Hp] + gh[:, :Hp])
-            z = jax.nn.sigmoid(gi[:, Hp : 2 * Hp] + gh[:, Hp : 2 * Hp])
-            ghn = gh[:, 2 * Hp :]
-            n = jnp.tanh(gi[:, 2 * Hp :] + r * ghn)
+        def gates(c, k, hprev, rzn, ghn):
+            r = rzn[:, :Hp]
+            z = rzn[:, Hp : 2 * Hp]
+            n = rzn[:, 2 * Hp :]
 
             ext = (
                 dtop_ref[k, rows(c)].astype(jnp.float32)
@@ -321,8 +326,8 @@ def _fused_bwd_kernel(
             dgi = jnp.concatenate([drpre, dz, dn], axis=-1)
             dgh = jnp.concatenate([drpre, dz, dghn], axis=-1)
             dgi_ref[l, k, rows(c)] = dgi.astype(jnp.bfloat16)
-            r_ref[l, k, rows(c)] = r.astype(jnp.bfloat16)
-            # serial reverse chain (latency hidden by the other chain)
+            dgh_ref[l, k, rows(c)] = dgh.astype(jnp.bfloat16)
+            # serial reverse chain (latency hidden by the other chains)
             dh[c] = dout * z + jnp.dot(
                 dgh.astype(jnp.bfloat16),
                 whhT_ref[l],
@@ -363,9 +368,7 @@ def _fused_bwd_kernel(
         dh0_ref[:] = dh_scr[:]
 
 
-def _fused_bwd_call(
-    gi0_p, hseq, hbound, dtop, wih_p, bih_p, whh_p, bhh_p, dhf, b_blk, K, P
-):
+def _fused_bwd_call(hseq, hbound, rzn, ghn, dtop, wih_p, whh_p, dhf, b_blk, K, P):
     import functools
 
     L, T, B, Hp = hseq.shape
@@ -380,26 +383,23 @@ def _fused_bwd_call(
         functools.partial(_fused_bwd_kernel, n_chains=P),
         grid=(nB, nT),
         in_specs=[
-            pl.BlockSpec((K, b_blk, Gp), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, K, b_blk, Hp), rev4, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, 1, b_blk, Hp), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, K, b_blk, Gp), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, K, b_blk, Hp), rev4, memory_space=pltpu.VMEM),
             pl.BlockSpec((K, b_blk, Hp), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((L - 1, Hp, Gp), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((L - 1, 1, Gp), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, Hp, Gp), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1, Gp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((L - 1, Gp, Hp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, Gp, Hp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, b_blk, Hp), lambda b, t: (0, b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((L, K, b_blk, Gp), rev4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, K, b_blk, Hp), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, K, b_blk, Gp), rev4, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, b_blk, Hp), lambda b, t: (0, b, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((L, T, B, Gp), jnp.bfloat16),  # dgi
-            jax.ShapeDtypeStruct((L, T, B, Hp), jnp.bfloat16),  # recomputed r
+            jax.ShapeDtypeStruct((L, T, B, Gp), jnp.bfloat16),  # dgh
             jax.ShapeDtypeStruct((L, B, Hp), jnp.float32),  # dh0
         ],
         scratch_shapes=[
@@ -408,7 +408,7 @@ def _fused_bwd_call(
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
         interpret=_interpret(),
-    )(gi0_p, hseq, hbound, dtop, wih_p, bih_p, whh_p, bhh_p, wihT, whhT, dhf)
+    )(hseq, hbound, rzn, ghn, dtop, wihT, whhT, dhf)
 
 
 # --------------------------------------------------------------------------
@@ -456,10 +456,12 @@ def _stack_fwd(gi0_seq, wih, bih, whh, bhh, h0):
     bhh_p = _pad_gates(bhh, H, Hp).astype(jnp.float32)[:, None, :]
     h0_p = _pad_tail(h0.astype(jnp.float32), 2, Hp)
 
-    hseq, hbound = _fused_fwd_call(gi0_p, wih_p, bih_p, whh_p, bhh_p, h0_p, b_blk, K, P)
+    hseq, hbound, rzn, ghn = _fused_fwd_call(
+        gi0_p, wih_p, bih_p, whh_p, bhh_p, h0_p, b_blk, K, P
+    )
     out_seq = hseq[L - 1, :, :, :H].astype(jnp.float32)
     h_final = hseq[:, T - 1, :, :H].astype(jnp.float32)
-    res = (gi0_p, hseq, hbound, wih_p, bih_p, whh_p, bhh_p, wih, whh, h0)
+    res = (hseq, hbound, rzn, ghn, wih_p, whh_p, h0)
     return (out_seq, h_final), res
 
 
@@ -469,22 +471,16 @@ def _stack_vjp_fwd(gi0_seq, wih, bih, whh, bhh, h0):
 
 def _stack_vjp_bwd(res, cots):
     dY, dhf = cots
-    gi0_p, hseq, hbound, wih_p, bih_p, whh_p, bhh_p, wih, whh, h0 = res
+    hseq, hbound, rzn, ghn, wih_p, whh_p, h0 = res
     L, T, B, Hp = hseq.shape
-    H = whh.shape[1]
+    H = h0.shape[-1]
     b_blk, K, P = _plan_blocks(T, L, Hp, B)
 
     dtop = _pad_tail(dY, 2, Hp).astype(jnp.bfloat16)
     dhf_p = _pad_tail(dhf.astype(jnp.float32), 2, Hp)
 
-    dgi_all, r_all, dh0_p = _fused_bwd_call(
-        gi0_p, hseq, hbound, dtop, wih_p, bih_p, whh_p, bhh_p, dhf_p, b_blk, K, P
-    )
-
-    # dgh differs from dgi only in the n gate (scaled by the recomputed r);
-    # build it lazily so XLA fuses the multiply into the GEMM operand reads.
-    dgh_all = jnp.concatenate(
-        [dgi_all[..., : 2 * Hp], dgi_all[..., 2 * Hp :] * r_all], axis=-1
+    dgi_all, dgh_all, dh0_p = _fused_bwd_call(
+        hseq, hbound, rzn, ghn, dtop, wih_p, whh_p, dhf_p, b_blk, K, P
     )
 
     # Weight/bias gradients: large MXU GEMM reductions over (T, B), outside

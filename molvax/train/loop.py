@@ -167,6 +167,7 @@ def make_train_step(cfg: Config):
                 properties_true=props,
                 property_loss_weight=cfg.train.property_loss_weight,
                 kl=out.kl,
+                kl_free_bits=cfg.train.kl.free_bits,
             )
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -213,6 +214,7 @@ def make_train_chunk(cfg: Config, chunk: int):
                 properties_true=props,
                 property_loss_weight=cfg.train.property_loss_weight,
                 kl=out.kl,
+                kl_free_bits=cfg.train.kl.free_bits,
             )
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -246,6 +248,7 @@ def make_eval_step(cfg: Config):
             properties_true=props,
             property_loss_weight=cfg.train.property_loss_weight,
             kl=out.kl,
+            kl_free_bits=cfg.train.kl.free_bits,
         )
         return metrics
 

@@ -50,9 +50,15 @@ def recon_bce(logits: Array, codes: Array, charset_size: int) -> Array:
 
 def gaussian_kl(mu: Array, logvar: Array) -> Array:
     """Per-sample KL(q(z|x) || N(0, I)): -0.5*sum(1+logvar-mu^2-e^logvar)."""
+    return jnp.sum(gaussian_kl_per_dim(mu, logvar), axis=-1)
+
+
+def gaussian_kl_per_dim(mu: Array, logvar: Array) -> Array:
+    """Per-dimension KL terms (B, L): the summands of gaussian_kl. Needed by
+    the free-bits floor, which clips each dim separately."""
     mu = mu.astype(jnp.float32)
     logvar = logvar.astype(jnp.float32)
-    return -0.5 * jnp.sum(1.0 + logvar - mu * mu - jnp.exp(logvar), axis=-1)
+    return -0.5 * (1.0 + logvar - mu * mu - jnp.exp(logvar))
 
 
 def recon_accuracy(logits: Array, codes: Array, pad_index: int = 0) -> Tuple[Array, Array]:
@@ -78,16 +84,29 @@ def vae_loss(
     properties_true: Optional[Array] = None,
     property_loss_weight: float = 1.0,
     kl: Optional[Array] = None,
+    kl_free_bits: float = 0.0,
 ) -> Tuple[Array, Dict[str, Array]]:
     """Returns (scalar loss, metrics dict). All metrics are batch means.
-    ``kl`` may be supplied precomputed (fused Pallas sampler path)."""
+    ``kl`` may be supplied precomputed (fused Pallas sampler path).
+    ``kl_free_bits`` > 0 floors each latent dim's KL at that many nats in
+    the LOSS term only (config KLScheduleConfig.free_bits; the reported
+    'kl' metric stays the true KL) — dims under the floor contribute a
+    constant, so the objective stops collapsing them toward the prior."""
     if cfg.recon_loss == "ce":
         recon = recon_ce(logits, codes)
     else:
         recon = recon_bce(logits, codes, cfg.charset_size)
     if kl is None:
         kl = gaussian_kl(mu, logvar)
-    elbo_terms = recon + beta * kl
+    if kl_free_bits > 0.0:
+        # per-dim floor needs the summands, not the (possibly precomputed)
+        # total; mu/logvar are always available and this is elementwise.
+        kl_loss = jnp.sum(
+            jnp.maximum(gaussian_kl_per_dim(mu, logvar), kl_free_bits), axis=-1
+        )
+    else:
+        kl_loss = kl
+    elbo_terms = recon + beta * kl_loss
     loss = jnp.mean(elbo_terms)
 
     metrics: Dict[str, Array] = {

@@ -49,6 +49,38 @@ def test_layer_scan_matches_reference(B, T, H):
     )
 
 
+def test_layer_scan_deep_interleave_fwd_and_grads(monkeypatch):
+    """MOLVAX_GRU_CHAINS=8 at b_blk=128: all 8 chains must flow through both
+    the forward and backward kernels (a dropped chain shows as zero/garbage
+    rows; regression guard for the rotating-interleave schedule, which is
+    off by default on this chip but kept for sweeps — see _pick_chains)."""
+    monkeypatch.setenv("MOLVAX_GRU_CHAINS", "8")
+    B, T, H = 128, 6, 20
+    layer = _layer(jax.random.key(0), H, H)
+    gi = jax.random.normal(jax.random.key(1), (T, B, 3 * H))
+    h0 = jax.random.normal(jax.random.key(2), (B, H)) * 0.1
+
+    h_seq_ref, _ = gru_layer_recurrence(layer, gi, h0)
+    h_seq_k = gru_layer_scan(gi, layer["w_hh"], layer["b_hh"], h0)
+    np.testing.assert_allclose(
+        np.asarray(h_seq_k), np.asarray(h_seq_ref), atol=ATOL, rtol=RTOL
+    )
+
+    def loss_ref(gi, w, b, h0):
+        h_seq, _ = gru_layer_recurrence({"w_hh": w, "b_hh": b}, gi, h0)
+        return jnp.sum(jnp.sin(h_seq))
+
+    def loss_k(gi, w, b, h0):
+        return jnp.sum(jnp.sin(gru_layer_scan(gi, w, b, h0)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(gi, layer["w_hh"], layer["b_hh"], h0)
+    g_k = jax.grad(loss_k, argnums=(0, 1, 2, 3))(gi, layer["w_hh"], layer["b_hh"], h0)
+    for name, a, b in zip(["dgi", "dw_hh", "db_hh", "dh0"], g_ref, g_k):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=ATOL, rtol=0.1, err_msg=name
+        )
+
+
 def test_layer_scan_gradients_match():
     B, T, H = 8, 10, 12
     layer = _layer(jax.random.key(0), H, H)

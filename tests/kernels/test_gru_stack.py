@@ -155,7 +155,7 @@ def test_plan_blocks_budget():
     assert not stack_plan_ok(layers1, 16, 12)
 
 
-@pytest.mark.parametrize("kernel", ["per_layer", "fused_stack"])
+@pytest.mark.parametrize("kernel", ["auto", "per_layer", "fused_stack"])
 def test_forward_pallas_kernel_selection(kernel):
     """gru_forward_pallas must produce equivalent results whichever kernel
     the config selects (routing is internal; numerics are the contract)."""

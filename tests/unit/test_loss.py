@@ -103,6 +103,51 @@ def test_vae_loss_composition():
     assert float(loss0) == pytest.approx(float(jnp.mean(recon_ce(logits, codes))), rel=1e-6)
 
 
+def test_vae_loss_free_bits():
+    """Free bits floor each latent dim's KL in the loss: collapsed dims
+    contribute the constant floor (zero gradient), active dims their true
+    KL; the reported 'kl' metric stays the true KL either way."""
+    from molvax.train.loss import gaussian_kl_per_dim
+
+    cfg = ModelConfig(max_len=5, charset_size=7, latent_dim=4)
+    logits = jax.random.normal(jax.random.key(0), (2, 5, 7))
+    codes = jnp.array([[0, 1, 2, 3, 4], [6, 5, 4, 3, 2]])
+    # two dims at the prior (kl=0, below floor), two dims far from it
+    mu = jnp.array([[0.0, 0.0, 2.0, 3.0], [0.0, 0.0, 1.5, 2.5]])
+    logvar = jnp.zeros((2, 4))
+    fb = 0.1
+
+    loss, metrics = vae_loss(
+        cfg, logits, codes, mu, logvar, jnp.float32(1.0), kl_free_bits=fb
+    )
+    kl_dim = gaussian_kl_per_dim(mu, logvar)
+    expected_kl_loss = jnp.sum(jnp.maximum(kl_dim, fb), axis=-1)
+    expected = float(jnp.mean(recon_ce(logits, codes) + expected_kl_loss))
+    assert float(loss) == pytest.approx(expected, rel=1e-6)
+    # metric reports the TRUE KL, not the floored one
+    assert float(metrics["kl"]) == pytest.approx(
+        float(jnp.mean(gaussian_kl(mu, logvar))), rel=1e-6
+    )
+    assert float(loss) > float(
+        vae_loss(cfg, logits, codes, mu, logvar, jnp.float32(1.0))[0]
+    )
+
+    # collapsed dims produce zero gradient through the floor
+    def kl_part(mu):
+        return jnp.mean(
+            jnp.sum(jnp.maximum(gaussian_kl_per_dim(mu, logvar), fb), axis=-1)
+        )
+
+    g = jax.grad(kl_part)(mu)
+    np.testing.assert_allclose(np.asarray(g[:, :2]), 0.0, atol=1e-7)
+    assert float(jnp.min(jnp.abs(g[:, 2:]))) > 1e-3
+
+    # free_bits wired through the preset
+    from molvax.config import zinc250k_quality
+
+    assert zinc250k_quality().train.kl.free_bits > 0
+
+
 def test_vae_loss_property_term():
     cfg = ModelConfig(max_len=5, charset_size=7, latent_dim=4, n_properties=2)
     logits = jnp.zeros((2, 5, 7))
