@@ -113,6 +113,12 @@ class TrainConfig:
     # training decode stays batch-parallel (no sequential sampling loop).
     scheduled_sampling: float = 0.0
     scheduled_sampling_warmup: int = 5000
+    # Word dropout (Bowman et al. 2016): probability of zeroing each teacher
+    # input character's one-hot during training, forcing molecule identity
+    # through z instead of the decoder's local context. The effective
+    # anti-collapse lever for this strong autoregressive decoder (see
+    # nn/vae.py forward). 0 = off (reference behavior).
+    word_dropout: float = 0.0
     property_loss_weight: float = 1.0
     grad_clip_norm: Optional[float] = None
     train_chunk_size: int = 1  # optimizer steps fused per device program

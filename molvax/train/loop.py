@@ -153,9 +153,10 @@ def make_train_step(cfg: Config):
             if cfg.train.scheduled_sampling > 0
             else None
         )
+        wd = cfg.train.word_dropout if cfg.train.word_dropout > 0 else None
 
         def loss_fn(params):
-            out = vae.forward(params, mcfg, step_key, codes, ss_prob=ss)
+            out = vae.forward(params, mcfg, step_key, codes, ss_prob=ss, wd_prob=wd)
             return vae_loss(
                 mcfg,
                 out.logits,
@@ -200,9 +201,10 @@ def make_train_chunk(cfg: Config, chunk: int):
             if cfg.train.scheduled_sampling > 0
             else None
         )
+        wd = cfg.train.word_dropout if cfg.train.word_dropout > 0 else None
 
         def loss_fn(params):
-            out = vae.forward(params, mcfg, step_key, codes, ss_prob=ss)
+            out = vae.forward(params, mcfg, step_key, codes, ss_prob=ss, wd_prob=wd)
             return vae_loss(
                 mcfg,
                 out.logits,

@@ -69,6 +69,36 @@ def test_forward_with_scheduled_sampling_runs_and_differs():
     assert not np.allclose(np.asarray(out_ss1.logits), np.asarray(out_tf.logits))
 
 
+def test_forward_with_word_dropout_runs_and_differs():
+    """wd_prob=0 matches pure teacher forcing; wd_prob=1 zeroes every
+    teacher input (decoder sees only z + start); grads stay finite."""
+    cfg = CFG
+    params = vae.init_vae_params(jax.random.key(0), cfg)
+    codes = jax.random.randint(jax.random.key(1), (4, cfg.max_len), 0, cfg.charset_size)
+    key = jax.random.key(2)
+    out_tf = vae.forward(params, cfg, key, codes)
+    out_wd0 = vae.forward(params, cfg, key, codes, wd_prob=jnp.float32(0.0))
+    out_wd1 = vae.forward(params, cfg, key, codes, wd_prob=jnp.float32(1.0))
+    np.testing.assert_allclose(
+        np.asarray(out_wd0.logits), np.asarray(out_tf.logits), atol=1e-6
+    )
+    assert not np.allclose(np.asarray(out_wd1.logits), np.asarray(out_tf.logits))
+
+    def loss(p):
+        out = vae.forward(p, cfg, key, codes, wd_prob=jnp.float32(0.5))
+        from molvax.train.loss import vae_loss
+
+        l, _ = vae_loss(
+            cfg, out.logits, codes.astype(jnp.int32), out.mu, out.logvar,
+            jnp.float32(1.0), kl=out.kl,
+        )
+        return l
+
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_scheduled_sampling_grads_finite():
     cfg = CFG
     params = vae.init_vae_params(jax.random.key(0), cfg)
