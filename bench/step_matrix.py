@@ -4,7 +4,7 @@ Times the production chunked trainer (16-step fused chunks, zinc250k-style
 config) across batch sizes and both Pallas recurrence kernels, to pick the
 production operating point from data.
 
-    python -m bench.step_matrix [B ...]
+    python -m bench.step_matrix [--preset NAME] [B ...]
 """
 
 from __future__ import annotations
@@ -52,16 +52,19 @@ def rate(cfg, codes, steps=48):
     return float(np.median(rates[1:]))
 
 
-def main(batches):
-    from molvax.config import zinc250k
+def main(batches, preset="zinc250k"):
+    from molvax.config import get_preset
     from molvax.data import DEFAULT_CHARSET, synthetic_dataset
     from molvax.utils import enable_persistent_cache
 
     enable_persistent_cache()
     ds = synthetic_dataset(8192, max_len=120, seed=0)
-    base = zinc250k()
+    base = get_preset(preset)
     base = dataclasses.replace(
-        base, model=dataclasses.replace(base.model, charset_size=DEFAULT_CHARSET.size)
+        base,
+        model=dataclasses.replace(
+            base.model, charset_size=DEFAULT_CHARSET.size, use_pallas=True
+        ),
     )
     for B in batches:
         for kern in ("per_layer", "fused_stack"):
@@ -75,4 +78,10 @@ def main(batches):
 
 
 if __name__ == "__main__":
-    main([int(a) for a in sys.argv[1:]] or [256, 512])
+    argv = sys.argv[1:]
+    preset = "zinc250k"
+    if "--preset" in argv:
+        i = argv.index("--preset")
+        preset = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    main([int(a) for a in argv] or [256, 512], preset=preset)
