@@ -427,10 +427,14 @@ def gru_forward_pallas(
     (molvax/kernels/gru_stack.py) — wins the isolated forward (its in-kernel
     input-gate dots keep the MXU warm through the serial chain) and, with
     its v2 residual-storing backward, wins fwd+bwd at large batch.
-    kernel='auto' (default) picks from the round-2 full-train-step matrix on
-    v5 lite (bench/step_matrix.py): per_layer 23.4k/21.3k SMILES/s at
-    B=256/512, fused_stack 22.0k/22.8k — so per_layer below 512 rows,
-    fused_stack at 512 and above.
+    kernel='auto' (default) picks from the round-2 full-train-step matrix
+    on v5 lite (bench/step_matrix.py). Reference width (H=501): per_layer
+    23.4k/21.3k SMILES/s at B=256/512, fused_stack 22.0k/22.8k — fused wins
+    from 512 rows. Scaled width (4xGRU-1024): fused drops to ~3.7k vs
+    per_layer's ~8.0k because its VMEM plan degrades to K=2 timesteps per
+    block and the input-gate prefetch window collapses. So auto takes
+    fused_stack only when B >= 512 AND the planner still gets a deep
+    (K >= 8) time block; per_layer otherwise.
 
     Falls back to the per-layer kernel when the stack shape or VMEM plan
     rules the fused kernel out, and to the pure-XLA scan when the batch is
@@ -442,7 +446,14 @@ def gru_forward_pallas(
         return gru_forward(layers, x_seq, h0, compute_dtype)
 
     if kernel == "auto":
-        kernel = "fused_stack" if B >= 512 else "per_layer"
+        if B >= 512:
+            from .gru_stack import _plan_blocks, stack_plan_ok
+
+            if stack_plan_ok(layers, B, T):
+                H = layers[0]["w_hh"].shape[0]
+                _, K, _ = _plan_blocks(T, len(layers), _round_up(H, 128), B)
+                if K >= 8:
+                    kernel = "fused_stack"
     if kernel == "fused_stack":
         from .gru_stack import gru_forward_wavefront, stack_plan_ok
 
