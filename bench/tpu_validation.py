@@ -83,7 +83,7 @@ def quick_gate(params, mcfg, codes) -> Dict[str, float]:
         assert out[label + "_mean"] < 2e-3, f"GRU kernel numerics ({label}): {out}"
         assert out[label + "_max"] < 0.2, f"GRU kernel numerics ({label}): {out}"
 
-    gate("per_layer", "all", "gru_err")  # the production training path
+    gate("per_layer", "none", "gru_err")  # the production training path
     if stack_plan_ok(gru_layers, B, t_gate):
         gate("fused_stack", "first", "gru_stack_err")
 

@@ -58,12 +58,12 @@ class ModelConfig:
     # low; through this dev box's remote tunnel both paths measure equal.
     use_pallas_generation: bool = False
     # Which Pallas recurrence serves the decoder when use_pallas is on.
-    # 'auto' (default) picks per batch from the measured full-train-step
-    # matrix (bench/step_matrix.py, v5 lite round 2): 'per_layer' (one
-    # kernel per layer, residuals stored) below 512 rows; 'fused_stack'
-    # (all layers in one kernel, weights VMEM-resident) at 512+, where its
-    # fused forward wins and its v2 residual-storing backward holds the
-    # lead. Either can be forced explicitly.
+    # 'auto'/'per_layer' (default): one kernel per layer with the input-gate
+    # GEMM computed in-kernel — the measured winner at every batch/width in
+    # the round-2 full-train-step matrix (bench/step_matrix.py: 29.8k-30.1k
+    # SMILES/s vs the fused stack's 22.1k-22.8k on v5 lite). 'fused_stack'
+    # (all layers in one kernel, weights VMEM-resident) stays selectable
+    # for hardware that prices the trade differently.
     gru_kernel: str = "auto"
 
     def __post_init__(self):

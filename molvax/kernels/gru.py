@@ -401,6 +401,151 @@ def _vjp_bwd(res, dY):
 gru_layer_scan.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+# --------------------------------------------------------------------------
+# custom-VJP wrapper: gru_layer_scan_x — in-kernel input-gate GEMM
+# --------------------------------------------------------------------------
+
+def _fwd_kernel_x(
+    x_ref, wih_ref, bih_ref, whh_ref, bhh_ref, h0_ref, hseq_ref, rzn_ref, ghn_ref, h_scr
+):
+    K = x_ref.shape[0]
+    Hp = h0_ref.shape[1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+
+    h = h_scr[:]
+    for k in range(K):
+        # The x @ W_ih dot has no dependence on the serial chain, so Mosaic
+        # prefetches/overlaps it while h @ W_hh waits on the carry — the MXU
+        # co-work that made the fused-stack forward fast, brought to the
+        # per-layer kernel (measured: 3-layer fwd 5.0 -> 4.2 ms at B=256 vs
+        # the hoisted-GEMM variant, bench/proto_gi_kernel.py).
+        gi = (
+            jnp.dot(x_ref[k], wih_ref[:], preferred_element_type=jnp.float32)
+            + bih_ref[:]
+        )
+        gh = (
+            jnp.dot(
+                h.astype(jnp.bfloat16), whh_ref[:], preferred_element_type=jnp.float32
+            )
+            + bhh_ref[:]
+        )
+        r = jax.nn.sigmoid(gi[:, :Hp] + gh[:, :Hp])
+        z = jax.nn.sigmoid(gi[:, Hp : 2 * Hp] + gh[:, Hp : 2 * Hp])
+        ghn = gh[:, 2 * Hp :]
+        n = jnp.tanh(gi[:, 2 * Hp :] + r * ghn)
+        h = (1.0 - z) * n + z * h
+        hseq_ref[k] = h.astype(jnp.bfloat16)
+        rzn_ref[k] = jnp.concatenate([r, z, n], axis=-1).astype(jnp.bfloat16)
+        ghn_ref[k] = ghn.astype(jnp.bfloat16)
+    h_scr[:] = h
+
+
+def _fwd_call_x(x_p, wih_p, bih_p, whh_p, bhh_p, h0_p):
+    T, B, Ip = x_p.shape
+    Hp = h0_p.shape[1]
+    Gp = 3 * Hp
+    b_blk = _pick_b_blk(B) or B
+    K = _time_block(T, Hp, 2 * (Ip + 5 * Hp), b_blk)
+    nB, nT = B // b_blk, T // K
+    const = lambda b, t: (0, 0)
+    return pl.pallas_call(
+        _fwd_kernel_x,
+        grid=(nB, nT),
+        in_specs=[
+            pl.BlockSpec((K, b_blk, Ip), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ip, Gp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hp, Gp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_blk, Hp), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, b_blk, Hp), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, b_blk, Gp), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, b_blk, Hp), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, Hp), jnp.bfloat16),
+            jax.ShapeDtypeStruct((T, B, Gp), jnp.bfloat16),
+            jax.ShapeDtypeStruct((T, B, Hp), jnp.bfloat16),
+        ],
+        scratch_shapes=[pltpu.VMEM((b_blk, Hp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x_p, wih_p, bih_p, whh_p, bhh_p, h0_p)
+
+
+@jax.custom_vjp
+def gru_layer_scan_x(
+    x_seq: Array, w_ih: Array, b_ih: Array, w_hh: Array, b_hh: Array, h0: Array
+) -> Array:
+    """One full GRU layer — input gates computed IN-kernel from x.
+
+    x_seq: (T, B, I), w_ih: (I, 3H), w_hh: (H, 3H), h0: (B, H)
+    returns h_seq (T, B, H) fp32. Same math/gate order as gru_layer_scan,
+    but the x @ W_ih GEMM rides inside the recurrence kernel where it
+    overlaps the serial chain (see _fwd_kernel_x). Numerics: x is cast bf16
+    for the dot; gi stays fp32 (no bf16 store round-trip — the hoisted
+    variant rounds gi at the kernel boundary)."""
+    h_seq, _ = _fwd_impl_x(x_seq, w_ih, b_ih, w_hh, b_hh, h0)
+    return h_seq
+
+
+def _fwd_impl_x(x_seq, w_ih, b_ih, w_hh, b_hh, h0):
+    T, B, I = x_seq.shape
+    H = w_hh.shape[0]
+    Hp = _round_up(H, 128)
+    Ip = _round_up(I, 128)
+    x_p = _pad_tail(x_seq, 2, Ip).astype(jnp.bfloat16)
+    wih_p = _pad_gates(_pad_tail(w_ih, 0, Ip), H, Hp).astype(jnp.bfloat16)
+    bih_p = _pad_gates(b_ih, H, Hp).astype(jnp.float32)[None, :]
+    whh_p = _pad_gates(_pad_tail(w_hh, 0, Hp), H, Hp).astype(jnp.bfloat16)
+    bhh_p = _pad_gates(b_hh, H, Hp).astype(jnp.float32)[None, :]
+    h0_p = _pad_tail(h0.astype(jnp.float32), 1, Hp)
+    hseq_p, rzn, ghn = _fwd_call_x(x_p, wih_p, bih_p, whh_p, bhh_p, h0_p)
+    h_seq = hseq_p[..., :H].astype(jnp.float32)
+    return h_seq, (rzn, ghn, hseq_p, h0_p, x_p, wih_p, w_hh, I)
+
+
+def _vjp_fwd_x(x_seq, w_ih, b_ih, w_hh, b_hh, h0):
+    return _fwd_impl_x(x_seq, w_ih, b_ih, w_hh, b_hh, h0)
+
+
+def _vjp_bwd_x(res, dY):
+    rzn, ghn, hseq_p, h0_p, x_p, wih_p, w_hh, I = res
+    H = w_hh.shape[0]
+    T, B, Hp = hseq_p.shape
+    hprev_p = jnp.concatenate([h0_p[None].astype(jnp.bfloat16), hseq_p[:-1]], axis=0)
+    dy_p = _pad_tail(dY.astype(jnp.float32), 2, Hp)
+    wt_p = jnp.swapaxes(_pad_gates(_pad_tail(w_hh, 0, Hp), H, Hp), 0, 1).astype(
+        jnp.bfloat16
+    )
+
+    dgi_p, dgh_p, dh0_p = _bwd_call(dy_p, rzn, ghn, hprev_p, wt_p)
+
+    dw_hh_p = jnp.einsum(
+        "tbh,tbg->hg", hprev_p, dgh_p, preferred_element_type=jnp.float32
+    )
+    dw_hh = _unpad_gates(dw_hh_p[:H], H, Hp)
+    db_hh = _unpad_gates(jnp.sum(dgh_p.astype(jnp.float32), axis=(0, 1)), H, Hp)
+    # input-side gradients (the hoisted variant left these to XLA autodiff)
+    dx_p = jnp.einsum(
+        "tbg,ig->tbi", dgi_p, wih_p, preferred_element_type=jnp.float32
+    )
+    dx = dx_p[..., :I]
+    dw_ih_p = jnp.einsum("tbi,tbg->ig", x_p, dgi_p, preferred_element_type=jnp.float32)
+    dw_ih = _unpad_gates(dw_ih_p[:I], H, Hp)
+    db_ih = _unpad_gates(jnp.sum(dgi_p.astype(jnp.float32), axis=(0, 1)), H, Hp)
+    dh0 = dh0_p[:, :H]
+    return dx, dw_ih, db_ih, dw_hh, db_hh, dh0
+
+
+gru_layer_scan_x.defvjp(_vjp_fwd_x, _vjp_bwd_x)
+
+
 def pallas_batch_ok(B: int) -> bool:
     """True if the Pallas recurrence supports this batch size on TPU (any
     batch with a block-decomposition into sublane-aligned rows; in practice
@@ -419,22 +564,19 @@ def gru_forward_pallas(
     compute_dtype=jnp.bfloat16,
     kernel: str = "auto",
 ) -> Tuple[Array, Array]:
-    """Drop-in for molvax.nn.gru.gru_forward: hoisted input GEMMs (XLA) +
-    Pallas recurrence. x_seq (B, T, in) -> (out (B, T, H), h_final).
+    """Drop-in for molvax.nn.gru.gru_forward via Pallas recurrence kernels.
+    x_seq (B, T, in) -> (out (B, T, H), h_final).
 
-    kernel='per_layer': one recurrence kernel per layer, gate residuals
-    stored for the backward. kernel='fused_stack': the all-layers kernel
-    (molvax/kernels/gru_stack.py) — wins the isolated forward (its in-kernel
-    input-gate dots keep the MXU warm through the serial chain) and, with
-    its v2 residual-storing backward, wins fwd+bwd at large batch.
-    kernel='auto' (default) picks from the round-2 full-train-step matrix
-    on v5 lite (bench/step_matrix.py). Reference width (H=501): per_layer
-    23.4k/21.3k SMILES/s at B=256/512, fused_stack 22.0k/22.8k — fused wins
-    from 512 rows. Scaled width (4xGRU-1024): fused drops to ~3.7k vs
-    per_layer's ~8.0k because its VMEM plan degrades to K=2 timesteps per
-    block and the input-gate prefetch window collapses. So auto takes
-    fused_stack only when B >= 512 AND the planner still gets a deep
-    (K >= 8) time block; per_layer otherwise.
+    kernel='per_layer' (and 'auto', the default): one kernel per layer with
+    the input-gate GEMM computed IN-kernel (gru_layer_scan_x) so it
+    overlaps the serial chain; gate residuals stored for the backward. The
+    round-2 full-train-step matrix on v5 lite (bench/step_matrix.py) made
+    this the unconditional winner: 29.8k/30.1k SMILES/s at B=256/512
+    (H=501) vs the fused-stack kernel's 22.1k/22.8k, and ~8.0k vs ~3.7k on
+    the scaled 4xGRU-1024 config. kernel='fused_stack' keeps the all-layers
+    kernel (molvax/kernels/gru_stack.py) selectable — it was the route by
+    which the in-kernel-input-GEMM insight was found, and other hardware
+    may price the trade differently.
 
     Falls back to the per-layer kernel when the stack shape or VMEM plan
     rules the fused kernel out, and to the pure-XLA scan when the batch is
@@ -445,15 +587,6 @@ def gru_forward_pallas(
 
         return gru_forward(layers, x_seq, h0, compute_dtype)
 
-    if kernel == "auto":
-        if B >= 512:
-            from .gru_stack import _plan_blocks, stack_plan_ok
-
-            if stack_plan_ok(layers, B, T):
-                H = layers[0]["w_hh"].shape[0]
-                _, K, _ = _plan_blocks(T, len(layers), _round_up(H, 128), B)
-                if K >= 8:
-                    kernel = "fused_stack"
     if kernel == "fused_stack":
         from .gru_stack import gru_forward_wavefront, stack_plan_ok
 
@@ -462,24 +595,17 @@ def gru_forward_pallas(
 
     L = len(layers)
     H = layers[0]["w_hh"].shape[0]
-    cd = compute_dtype
     if h0 is None:
         h0 = jnp.zeros((L, B, H), dtype=jnp.float32)
 
-    inp = x_seq
+    inp = jnp.swapaxes(x_seq, 0, 1)  # (T, B, in) scan-major once
     finals = []
     for li, layer in enumerate(layers):
-        gi = (
-            jnp.dot(
-                inp.astype(cd),
-                layer["w_ih"].astype(cd),
-                preferred_element_type=jnp.float32,
-            )
-            + layer["b_ih"]
-        )  # (B, T, 3H): one large GEMM per layer
-        h_seq = gru_layer_scan(
-            jnp.swapaxes(gi, 0, 1), layer["w_hh"], layer["b_hh"], h0[li]
+        # input gates ride inside the kernel (gru_layer_scan_x): the x@W_ih
+        # dot overlaps the serial h@W_hh chain instead of materializing a
+        # (T,B,3H) gi array through HBM
+        inp = gru_layer_scan_x(
+            inp, layer["w_ih"], layer["b_ih"], layer["w_hh"], layer["b_hh"], h0[li]
         )  # (T, B, H)
-        inp = jnp.swapaxes(h_seq, 0, 1)
-        finals.append(h_seq[-1])
-    return inp, jnp.stack(finals)
+        finals.append(inp[-1])
+    return jnp.swapaxes(inp, 0, 1), jnp.stack(finals)

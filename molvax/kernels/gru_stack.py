@@ -533,8 +533,10 @@ def gru_forward_faithful(
 
     round_gi='first' mirrors the fused-stack kernel (only layer 0's input
     gates are stored bf16; deeper layers compute theirs in-kernel at fp32);
-    round_gi='all' mirrors the per-layer kernel, whose wrapper rounds every
-    layer's hoisted input-gate GEMM to bf16 at the pallas_call boundary.
+    round_gi='none' mirrors the per-layer gru_layer_scan_x path (every
+    layer's gi computed in-kernel at fp32 from bf16 operands, never stored);
+    round_gi='all' mirrors the legacy hoisted-GEMM per-layer wrapper, which
+    rounds every layer's gi to bf16 at the pallas_call boundary.
 
     The generic jnp reference (molvax.nn.gru.gru_forward) keeps h fp32
     end-to-end, so its trajectory diverges from any kernel that stores bf16
@@ -560,7 +562,9 @@ def gru_forward_faithful(
             preferred_element_type=jnp.float32,
         )
         + layers[0]["b_ih"]
-    ).astype(bf)  # the kernel stores layer-0 input gates as bf16
+    )
+    if round_gi in ("first", "all"):  # those kernels store layer-0 gi as bf16
+        gi_seq = gi_seq.astype(bf)
     gi_seq = jnp.swapaxes(gi_seq, 0, 1).astype(jnp.float32)  # (T, B, 3H)
 
     hseq_bf = None

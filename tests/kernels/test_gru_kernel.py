@@ -81,6 +81,54 @@ def test_layer_scan_deep_interleave_fwd_and_grads(monkeypatch):
         )
 
 
+@pytest.mark.parametrize("B,T,I,H", [(16, 10, 9, 130), (8, 12, 12, 12)])
+def test_layer_scan_x_matches_reference(B, T, I, H):
+    """gru_layer_scan_x (in-kernel input GEMM) vs the jnp reference: values
+    and all six gradients (x, w_ih, b_ih, w_hh, b_hh, h0)."""
+    from molvax.kernels.gru import gru_layer_scan_x
+    from molvax.nn.gru import init_gru_params
+
+    layer = init_gru_params(jax.random.key(0), I, H, 1)[0]
+    x = jax.random.normal(jax.random.key(1), (T, B, I))
+    h0 = jax.random.normal(jax.random.key(2), (B, H)) * 0.1
+
+    def ref(x, wih, bih, whh, bhh, h0):
+        # bf16 matmul operands like the kernel, else gate trajectories
+        # diverge enough to push a few weight-grad elements past rtol
+        gi = (
+            jnp.einsum(
+                "tbi,ig->tbg",
+                x.astype(jnp.bfloat16),
+                wih.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            + bih
+        )
+        h_seq, _ = gru_layer_recurrence(
+            {"w_hh": whh, "b_hh": bhh}, gi, h0, compute_dtype=jnp.bfloat16
+        )
+        return h_seq
+
+    args = (x, layer["w_ih"], layer["b_ih"], layer["w_hh"], layer["b_hh"], h0)
+    np.testing.assert_allclose(
+        np.asarray(gru_layer_scan_x(*args)), np.asarray(ref(*args)),
+        atol=ATOL, rtol=RTOL,
+    )
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(ref(*a)))
+
+    def loss_k(*a):
+        return jnp.sum(jnp.sin(gru_layer_scan_x(*a)))
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    g_k = jax.grad(loss_k, argnums=tuple(range(6)))(*args)
+    for name, a, b in zip(["dx", "dw_ih", "db_ih", "dw_hh", "db_hh", "dh0"], g_ref, g_k):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=ATOL, rtol=0.1, err_msg=name
+        )
+
+
 def test_layer_scan_gradients_match():
     B, T, H = 8, 10, 12
     layer = _layer(jax.random.key(0), H, H)

@@ -170,16 +170,16 @@ def test_forward_pallas_kernel_selection(kernel):
     np.testing.assert_allclose(np.asarray(hf_k), np.asarray(hf_ref), atol=ATOL, rtol=RTOL)
 
 
-def test_faithful_twin_all_mode_tracks_per_layer():
-    """round_gi='all' mirrors the per-layer kernel's rounding points (every
-    layer's input gates stored bf16) — tight agreement in interpret mode."""
+def test_faithful_twin_none_mode_tracks_per_layer():
+    """round_gi='none' mirrors gru_layer_scan_x's rounding points (gi fp32
+    in-kernel, never stored) — tight agreement in interpret mode."""
     from molvax.kernels.gru import gru_forward_pallas
     from molvax.kernels.gru_stack import gru_forward_faithful
 
     B, T, I, H, L = 16, 14, 9, 130, 2
     layers = init_gru_params(jax.random.key(0), I, H, L)
     x_seq = jax.random.normal(jax.random.key(1), (B, T, I))
-    out_f, hf_f = gru_forward_faithful(layers, x_seq, round_gi="all")
+    out_f, hf_f = gru_forward_faithful(layers, x_seq, round_gi="none")
     out_k, hf_k = gru_forward_pallas(layers, x_seq, kernel="per_layer")
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_f), atol=2e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(hf_k), np.asarray(hf_f), atol=2e-5, rtol=1e-5)
