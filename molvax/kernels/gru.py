@@ -220,6 +220,7 @@ def _fwd_call(gi_p: Array, w_p: Array, b_p: Array, h0_p: Array):
             jax.ShapeDtypeStruct((T, B, Hp), jnp.bfloat16),  # gh_n residual
         ],
         scratch_shapes=[pltpu.VMEM((b_blk, Hp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(gi_p, w_p, b_p, h0_p)
 
@@ -331,6 +332,11 @@ def _bwd_call(dy_p, rzn, ghn, hprev_p, wt_p):
             jax.ShapeDtypeStruct((B, Hp), jnp.float32),  # dh0
         ],
         scratch_shapes=[pltpu.VMEM((b_blk, Hp), jnp.float32)],
+        # default scoped-vmem limit is 16MB; at Hp=1024 the resident W^T
+        # (6.3MB bf16) + double-buffered blocks just overflow it (measured:
+        # 16.28MB requested on the 4xGRU-1024 config at B=256). The chip
+        # has ~120MB.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(dy_p, rzn, ghn, hprev_p, wt_p)
 

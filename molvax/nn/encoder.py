@@ -100,16 +100,24 @@ def init_encoder_params(key: Array, cfg: ModelConfig) -> Params:
 
 
 def conv1d(p: Params, x_nch: Array, compute_dtype=jnp.float32) -> Array:
-    """VALID 1-D conv, torch layout. x: (B, C_in, W) -> (B, C_out, W')."""
-    # Run the conv uniformly in compute_dtype (mixed operand/cotangent dtypes
-    # break the conv transpose rule), upcast after: these convs are tiny and
-    # the fp32 bias add restores the accumulation dtype.
-    y = jax.lax.conv_general_dilated(
-        x_nch.astype(compute_dtype),
-        p["w"].astype(compute_dtype),
-        window_strides=(1,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
+    """VALID 1-D conv, torch layout. x: (B, C_in, W) -> (B, C_out, W').
+
+    Expressed in im2col/GEMM form (static unfold + einsum) instead of
+    lax.conv_general_dilated: XLA's TPU lowering of these tiny-channel
+    (9/9/10) convs — and above all of their transposed-conv VJPs — cost
+    ~0.26 ms apiece for ~10 MFLOP, about 2 ms of an 8 ms train step
+    (profiled round 2, bench/profile_step.py). The GEMM form runs and
+    differentiates as matmuls; same math to fp32 reassociation."""
+    O, I, K = p["w"].shape
+    W = x_nch.shape[-1]
+    Wout = W - K + 1
+    x = x_nch.astype(compute_dtype)
+    # patches[b, (k, i), t] = x[b, i, t + k]
+    patches = jnp.stack([x[:, :, k : k + Wout] for k in range(K)], axis=1)
+    patches = patches.reshape(x.shape[0], K * I, Wout)
+    wmat = p["w"].astype(compute_dtype).transpose(2, 1, 0).reshape(K * I, O)
+    y = jnp.einsum(
+        "bpt,po->bot", patches, wmat, preferred_element_type=jnp.float32
     )
     return y.astype(jnp.float32) + p["b"][None, :, None]
 
