@@ -484,6 +484,98 @@ def _fwd_call_x(x_p, wih_p, bih_p, whh_p, bhh_p, h0_p):
     )(x_p, wih_p, bih_p, whh_p, bhh_p, h0_p)
 
 
+def _bwd_kernel_x(
+    dy_ref,
+    rzn_ref,
+    ghn_ref,
+    hprev_ref,
+    wt_ref,
+    wihT_ref,
+    dgi_ref,
+    dgh_ref,
+    dx_ref,
+    dh0_ref,
+    dh_scr,
+):
+    K = dy_ref.shape[0]
+    Hp = dh0_ref.shape[1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+
+    dh = dh_scr[:]
+    for k in range(K - 1, -1, -1):
+        dout = dy_ref[k] + dh
+        rzn = rzn_ref[k].astype(jnp.float32)
+        r, z, n = rzn[:, :Hp], rzn[:, Hp : 2 * Hp], rzn[:, 2 * Hp :]
+        ghn = ghn_ref[k].astype(jnp.float32)
+        h_prev = hprev_ref[k].astype(jnp.float32)
+
+        dz = dout * (h_prev - n) * z * (1.0 - z)
+        dn = dout * (1.0 - z) * (1.0 - n * n)
+        dghn = dn * r
+        dr = dn * ghn
+        drpre = dr * r * (1.0 - r)
+        dgi = jnp.concatenate([drpre, dz, dn], axis=-1)
+        dgh = jnp.concatenate([drpre, dz, dghn], axis=-1)
+        dh = dout * z + jnp.dot(
+            dgh.astype(jnp.bfloat16), wt_ref[:], preferred_element_type=jnp.float32
+        )
+        # dx has no dependence on the serial reverse chain — MXU co-work
+        # that overlaps the dgh @ W_hh^T latency (mirror of the forward's
+        # in-kernel input-gate dot), and it replaces a (T,B,3H)-reading
+        # einsum outside the kernel.
+        dx_ref[k] = jnp.dot(
+            dgi.astype(jnp.bfloat16), wihT_ref[:], preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)
+        dgi_ref[k] = dgi.astype(jnp.bfloat16)
+        dgh_ref[k] = dgh.astype(jnp.bfloat16)
+    dh_scr[:] = dh
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        dh0_ref[:] = dh_scr[:]
+
+
+def _bwd_call_x(dy_p, rzn, ghn, hprev_p, wt_p, wihT_p):
+    T, B, Hp = dy_p.shape
+    Gp = 3 * Hp
+    Ip = wihT_p.shape[1]
+    b_blk = _pick_b_blk(B) or B
+    K = _time_block(T, Hp, 26 * Hp + 2 * Ip, b_blk)
+    nB, nT = B // b_blk, T // K
+    rev3 = lambda b, t: (nT - 1 - t, b, 0)
+    const = lambda b, t: (0, 0)
+    return pl.pallas_call(
+        _bwd_kernel_x,
+        grid=(nB, nT),
+        in_specs=[
+            pl.BlockSpec((K, b_blk, Hp), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, b_blk, Gp), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, b_blk, Hp), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, b_blk, Hp), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gp, Hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gp, Ip), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, b_blk, Gp), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, b_blk, Gp), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, b_blk, Ip), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_blk, Hp), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, Gp), jnp.bfloat16),  # dgi
+            jax.ShapeDtypeStruct((T, B, Gp), jnp.bfloat16),  # dgh
+            jax.ShapeDtypeStruct((T, B, Ip), jnp.bfloat16),  # dx
+            jax.ShapeDtypeStruct((B, Hp), jnp.float32),  # dh0
+        ],
+        scratch_shapes=[pltpu.VMEM((b_blk, Hp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(dy_p, rzn, ghn, hprev_p, wt_p, wihT_p)
+
+
 @jax.custom_vjp
 def gru_layer_scan_x(
     x_seq: Array, w_ih: Array, b_ih: Array, w_hh: Array, b_hh: Array, h0: Array
@@ -530,18 +622,17 @@ def _vjp_bwd_x(res, dY):
         jnp.bfloat16
     )
 
-    dgi_p, dgh_p, dh0_p = _bwd_call(dy_p, rzn, ghn, hprev_p, wt_p)
+    dgi_p, dgh_p, dx_p, dh0_p = _bwd_call_x(
+        dy_p, rzn, ghn, hprev_p, wt_p, jnp.swapaxes(wih_p, 0, 1)
+    )
 
     dw_hh_p = jnp.einsum(
         "tbh,tbg->hg", hprev_p, dgh_p, preferred_element_type=jnp.float32
     )
     dw_hh = _unpad_gates(dw_hh_p[:H], H, Hp)
     db_hh = _unpad_gates(jnp.sum(dgh_p.astype(jnp.float32), axis=(0, 1)), H, Hp)
-    # input-side gradients (the hoisted variant left these to XLA autodiff)
-    dx_p = jnp.einsum(
-        "tbg,ig->tbi", dgi_p, wih_p, preferred_element_type=jnp.float32
-    )
-    dx = dx_p[..., :I]
+    # input-side gradients; dx came from the kernel's co-work dot
+    dx = dx_p[..., :I].astype(jnp.float32)
     dw_ih_p = jnp.einsum("tbi,tbg->ig", x_p, dgi_p, preferred_element_type=jnp.float32)
     dw_ih = _unpad_gates(dw_ih_p[:I], H, Hp)
     db_ih = _unpad_gates(jnp.sum(dgi_p.astype(jnp.float32), axis=(0, 1)), H, Hp)
