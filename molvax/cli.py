@@ -168,7 +168,13 @@ def cmd_evaluate(args) -> int:
         seed=cfg.data.seed,
         with_properties=cfg.model.n_properties > 0,
     )
-    report = evaluate(state, cfg, dataset, n_prior=args.n_prior)
+    report = evaluate(
+        state,
+        cfg,
+        dataset,
+        n_prior=args.n_prior,
+        sweep_temperatures=getattr(args, "sweep", False),
+    )
     print(json.dumps({k: round(v, 5) for k, v in report.items()}, sort_keys=True))
     return 0
 
@@ -324,6 +330,11 @@ def main(argv=None) -> int:
     common(sp)
     sp.add_argument("--ckpt", required=True)
     sp.add_argument("--n-prior", type=int, default=1000)
+    sp.add_argument(
+        "--sweep",
+        action="store_true",
+        help="add a softmax-temperature sweep of prior-sample quality",
+    )
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser(
