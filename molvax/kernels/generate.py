@@ -35,15 +35,22 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import ModelConfig
 from .gru import _pad_gates, _pad_tail, _round_up
 from .sampler import _seed_from_key
+from .tpu_info import vmem_limit as _vmem_limit
 
 Array = jax.Array
 
 _B_BLK = 128
-# bf16 decoder weights must stay VMEM-resident across the whole decode loop.
-# The v5-lite dev chip measured ~120 MB usable VMEM (round-2 probe; far above
-# the 16 MB/core planning figure), so 64 MB of weights + carries/logits fits
-# comfortably — this admits the scaled 4xGRU-1024 decoder (~45 MB bf16).
-_WEIGHT_BUDGET = 64 * 1024 * 1024
+
+
+def _weight_budget() -> int:
+    # bf16 decoder weights must stay VMEM-resident across the whole decode
+    # loop. Device-derived (ADVICE r2): half of capacity leaves room for
+    # carries/logits/temporaries — 64 MB on the 128 MB-class dev chip (which
+    # admits the scaled 4xGRU-1024 decoder, ~45 MB bf16), 8 MB on the 16 MB
+    # conservative baseline (falls back to the jnp scan).
+    from .tpu_info import vmem_capacity_bytes
+
+    return vmem_capacity_bytes() // 2
 
 
 def _interpret() -> bool:
@@ -61,7 +68,7 @@ def generation_kernel_supported(cfg: ModelConfig, batch: int) -> bool:
     wb = 2 * (Cp * Gp + Hp * Gp)  # layer 1: W_c + W_hh
     wb += 2 * (Hp * Gp + Hp * Gp) * (cfg.gru_layers - 1)
     wb += 2 * Hp * Cp  # output head
-    return wb <= _WEIGHT_BUDGET
+    return wb <= _weight_budget()
 
 
 def _gate(gi, gh, h, Hp):
@@ -231,7 +238,7 @@ def fused_generate(
             (T, b_blk), lambda b: (0, b), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((T, B), jnp.int32),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(*args)
     return jnp.swapaxes(codes_tb, 0, 1)

@@ -59,10 +59,12 @@ from .gru import _interpret, _pad_gates, _pad_tail, _pick_b_blk, _round_up, _unp
 
 Array = jax.Array
 
-# VMEM budget for block planning. ~120 MB usable was measured on the dev
-# chip (vmem_probe, round 2); plan to 96 MB to leave headroom for Mosaic's
-# own temporaries and smaller parts.
-_VMEM_BUDGET = 96 * 1024 * 1024
+# VMEM budgets are device-derived (ADVICE r2): ~120 MB usable was measured
+# on the dev chip (vmem_probe, round 2) and 128 MB-class chips plan to 75%
+# of capacity; unrecognized hardware gets the conservative 16 MB baseline so
+# the planner rejects plans that would fail Mosaic compilation (callers fall
+# back to the per-layer kernel).
+from .tpu_info import plan_budget as _plan_budget, vmem_limit as _vmem_limit
 
 
 def _bwd_bytes(L: int, Hp: int, b_blk: int, K: int) -> int:
@@ -76,7 +78,7 @@ def _bwd_bytes(L: int, Hp: int, b_blk: int, K: int) -> int:
         + L * b_blk * Hp * 2  # hbound in
         + L * K * b_blk * Gp * 2  # rzn in
         + L * K * b_blk * Hp * 2  # ghn in
-        + K * b_blk * Hp * 2  # dtop in (bf16)
+        + K * b_blk * Hp * 4  # dtop in (fp32; ADVICE r2 — no extra rounding)
         + L * b_blk * Hp * 4  # dhf in (fp32)
         + L * K * b_blk * Gp * 2  # dgi out
         + L * K * b_blk * Gp * 2  # dgh out
@@ -104,7 +106,7 @@ def _plan_blocks(T: int, L: int, Hp: int, B: int) -> Tuple[int, int, int] | None
     # chains. K=8 beat 10/12/15 on f+b (smaller unroll, same pipelining).
     P = next(p for p in (8, 4, 2, 1) if b_blk % (16 * p) == 0)
     for K in (8, 10, 12, 6, 15, 5, 20, 4, 24, 3, 2, 1):
-        if T % K == 0 and _bwd_bytes(L, Hp, b_blk, K) <= _VMEM_BUDGET:
+        if T % K == 0 and _bwd_bytes(L, Hp, b_blk, K) <= _plan_budget():
             return b_blk, K, P
     return None
 
@@ -252,7 +254,7 @@ def _fused_fwd_call(gi0_p, wih_p, bih_p, whh_p, bhh_p, h0_p, b_blk, K, P):
             jax.ShapeDtypeStruct((L, T, B, Hp), jnp.bfloat16),  # gh_n residual
         ],
         scratch_shapes=[pltpu.VMEM((L, b_blk, Hp), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(gi0_p, wih_p, bih_p, whh_p, bhh_p, h0_p)
 
@@ -406,7 +408,7 @@ def _fused_bwd_call(hseq, hbound, rzn, ghn, dtop, wih_p, whh_p, dhf, b_blk, K, P
             pltpu.VMEM((L, b_blk, Hp), jnp.float32),
             pltpu.VMEM((K, b_blk, Hp), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(hseq, hbound, rzn, ghn, dtop, wihT, whhT, dhf)
 
@@ -476,7 +478,10 @@ def _stack_vjp_bwd(res, cots):
     H = h0.shape[-1]
     b_blk, K, P = _plan_blocks(T, L, Hp, B)
 
-    dtop = _pad_tail(dY, 2, Hp).astype(jnp.bfloat16)
+    # dtop stays fp32 (ADVICE r2): the per-layer path keeps the upstream
+    # cotangent fp32, so the opt-in fused path must not add a rounding point
+    # its 'same numerics to bf16-residual tolerance' twin doesn't have.
+    dtop = _pad_tail(dY.astype(jnp.float32), 2, Hp)
     dhf_p = _pad_tail(dhf.astype(jnp.float32), 2, Hp)
 
     dgi_all, dgh_all, dh0_p = _fused_bwd_call(
