@@ -49,6 +49,11 @@ class ModelConfig:
     # de-normalizes predictions back to raw units (property_head.py).
     property_mean: Optional[Tuple[float, ...]] = None
     property_std: Optional[Tuple[float, ...]] = None
+    # Matmul policy for the XLA (non-Pallas) compute paths. NOTE (ADVICE
+    # r2): the Pallas kernels are bf16-matmul by design (fp32 gate math,
+    # accumulation, and carries) — a float32 config with use_pallas=True
+    # still gets bf16 matmuls inside the kernelized ops (a one-time warning
+    # says so); set use_pallas=False for a strict-fp32 compute path.
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' matmul policy
     use_pallas: bool = False  # Pallas kernels for hot ops (TPU only)
     # Fused autoregressive generation kernel (kernels/generate.py): whole

