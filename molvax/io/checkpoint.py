@@ -42,15 +42,62 @@ def save(manager: ocp.CheckpointManager, step: int, state) -> None:
 
 def restore_latest(manager: ocp.CheckpointManager, abstract_state) -> Optional[Any]:
     """Restore the newest checkpoint shaped like ``abstract_state``
-    (a concrete template state is fine). Returns None if no checkpoint."""
+    (a concrete template state is fine). Returns None if no checkpoint.
+
+    Tolerant of params added since the checkpoint was written (ADVICE r2:
+    e.g. ``decoder/start_token`` once ``learned_start`` flipped on in a
+    preset): when the strict template restore fails on a tree mismatch, the
+    checkpoint is read structure-free and grafted onto the template — saved
+    leaves restore, new leaves keep their fresh initialization (the zero
+    start vector / zero Adam moments), instead of failing the resume."""
     step = manager.latest_step()
     if step is None:
         return None
     template = _to_savable(abstract_state)
-    restored = manager.restore(step, args=ocp.args.StandardRestore(template))
+    try:
+        restored = manager.restore(step, args=ocp.args.StandardRestore(template))
+    except Exception as e:  # tree-structure mismatch path
+        import sys
+
+        saved = manager.restore(step)
+        restored = _graft(template, saved)
+        print(
+            f"[molvax] strict checkpoint restore failed ({type(e).__name__}); "
+            "grafted saved leaves onto the current state template "
+            "(new params keep fresh init)",
+            file=sys.stderr,
+        )
     # Re-wrap raw key data into typed PRNG keys at the treedef positions
     # where the original state had them.
     return _rewrap_keys(abstract_state, restored)
+
+
+def _graft(template, saved):
+    """Merge a structure-free orbax restore (nested dicts/lists of arrays)
+    onto a pytree template: leaves present in ``saved`` win; leaves missing
+    from it keep the template's value. Orbax serializes NamedTuples and
+    dataclasses as dicts keyed by field name, tuples/lists by position."""
+    if saved is None:
+        return template
+    if isinstance(template, dict):
+        if not isinstance(saved, dict):
+            return template
+        return {k: _graft(v, saved.get(k)) for k, v in template.items()}
+    if hasattr(template, "_fields"):  # NamedTuple (TrainState, optax states)
+        if isinstance(saved, dict):
+            vals = [_graft(getattr(template, f), saved.get(f)) for f in template._fields]
+        elif isinstance(saved, (list, tuple)) and len(saved) == len(template):
+            vals = [_graft(t, s) for t, s in zip(template, saved)]
+        else:
+            return template
+        return type(template)(*vals)
+    if isinstance(template, (list, tuple)):
+        if isinstance(saved, dict):  # orbax may key sequence entries '0','1',…
+            saved = [saved.get(str(i)) for i in range(len(template))]
+        if not isinstance(saved, (list, tuple)) or len(saved) != len(template):
+            return template
+        return type(template)(_graft(t, s) for t, s in zip(template, saved))
+    return saved
 
 
 def _rewrap_keys(abstract_state, restored):

@@ -44,6 +44,42 @@ def test_save_restore_roundtrip(tmp_path):
     )
 
 
+@pytest.mark.slow
+def test_restore_tolerates_added_start_token(tmp_path):
+    """ADVICE r2: a checkpoint written before ``learned_start`` flipped on in
+    a preset lacks ``decoder/start_token`` (and its Adam moments); restoring
+    into the new state template must graft the saved leaves and keep the
+    fresh zero-init for the new param instead of failing on tree mismatch."""
+    cfg_old = tiny_cfg()
+    state_old = init_state(cfg_old)
+    manager = ckpt.make_manager(str(tmp_path / "ck"), keep=2)
+    ckpt.save(manager, 7, state_old)
+    manager.wait_until_finished()
+
+    cfg_new = dataclasses.replace(
+        cfg_old, model=dataclasses.replace(cfg_old.model, learned_start=True)
+    )
+    template = init_state(cfg_new, key=jax.random.key(123))
+    restored = ckpt.restore_latest(manager, template)
+    assert restored is not None
+    # saved leaves came back ...
+    np.testing.assert_array_equal(
+        np.asarray(state_old.params["encoder"]["linear_mu"]["w"]),
+        np.asarray(restored.params["encoder"]["linear_mu"]["w"]),
+    )
+    # ... and the new param kept its (zero) init
+    assert "start_token" in restored.params["decoder"]
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["decoder"]["start_token"]),
+        np.zeros(cfg_new.model.charset_size, np.float32),
+    )
+    # optimizer state trees match the new params (resume can keep training)
+    assert (
+        jax.tree.structure(restored.params).num_leaves
+        == jax.tree.structure(template.params).num_leaves
+    )
+
+
 def test_restore_latest_none_when_empty(tmp_path):
     manager = ckpt.make_manager(str(tmp_path / "empty"))
     assert ckpt.restore_latest(manager, init_state(tiny_cfg())) is None
