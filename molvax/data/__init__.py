@@ -3,6 +3,7 @@ from .featurize import (
     argmax_codes,
     decode_codes,
     encode_smiles,
+    is_valid_smiles,
     one_hot,
     one_hot_to_smiles,
     smiles_to_one_hot,
@@ -27,6 +28,7 @@ __all__ = [
     "argmax_codes",
     "decode_codes",
     "encode_smiles",
+    "is_valid_smiles",
     "one_hot",
     "one_hot_to_smiles",
     "smiles_to_one_hot",

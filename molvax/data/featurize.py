@@ -119,31 +119,35 @@ def one_hot_to_smiles(
     return decode_codes(argmax_codes(x), charset)
 
 
-def valid_fraction(smiles: Iterable[str], charset: Charset = DEFAULT_CHARSET) -> float:
+def is_valid_smiles(s: str, charset: Charset = DEFAULT_CHARSET) -> bool:
     """Grammar-level validity heuristic (no RDKit available offline - see
     SURVEY.md section 7): charset membership + balanced ()/[] + no empty
-    string. Used by sampling metrics."""
+    string."""
+    if not s or any(c not in charset for c in s):
+        return False
+    depth = 0
+    sq = 0
+    for c in s:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "[":
+            sq += 1
+        elif c == "]":
+            sq -= 1
+        if depth < 0 or sq < 0 or sq > 1:
+            return False
+    return depth == 0 and sq == 0
+
+
+def valid_fraction(smiles: Iterable[str], charset: Charset = DEFAULT_CHARSET) -> float:
+    """Fraction of strings passing ``is_valid_smiles``. Used by sampling
+    metrics."""
     n = 0
     ok = 0
     for s in smiles:
         n += 1
-        if not s or any(c not in charset for c in s):
-            continue
-        depth = 0
-        sq = 0
-        good = True
-        for c in s:
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            elif c == "[":
-                sq += 1
-            elif c == "]":
-                sq -= 1
-            if depth < 0 or sq < 0 or sq > 1:
-                good = False
-                break
-        if good and depth == 0 and sq == 0:
+        if is_valid_smiles(s, charset):
             ok += 1
     return ok / max(n, 1)

@@ -1,6 +1,12 @@
 from .interpolate import interpolate, lerp, slerp
 from .optimize import OptimizeResult, optimize_from_smiles, optimize_z
-from .sample import generate, reconstruct, sample_prior
+from .sample import (
+    fit_aggregate_posterior,
+    generate,
+    reconstruct,
+    sample_aggregate,
+    sample_prior,
+)
 
 __all__ = [
     "interpolate",
@@ -9,7 +15,9 @@ __all__ = [
     "OptimizeResult",
     "optimize_from_smiles",
     "optimize_z",
+    "fit_aggregate_posterior",
     "generate",
     "reconstruct",
+    "sample_aggregate",
     "sample_prior",
 ]

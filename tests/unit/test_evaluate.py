@@ -6,8 +6,11 @@ from molvax.config import Config, DataConfig, ModelConfig, TrainConfig
 from molvax.data import DEFAULT_CHARSET, synthetic_dataset
 from molvax.train import init_state, train
 from molvax.train.evaluate import (
+    aggregate_generation_metrics,
     evaluate,
     generation_metrics,
+    interpolation_metrics,
+    posterior_prior_metrics,
     reconstruction_metrics,
     teacher_forced_metrics,
 )
@@ -31,7 +34,9 @@ def test_evaluate_full_report():
     state, _ = train(cfg, dataset=ds, max_steps=5, verbose=False)
     report = evaluate(state, cfg, ds, n_prior=32)
     for k in ("loss", "acc", "gen_valid", "gen_unique", "gen_novelty",
-              "recon_exact", "recon_char_acc"):
+              "recon_exact", "recon_char_acc", "interp_valid",
+              "interp_endpoint_exact", "interp_distinct", "post_prior_w2",
+              "agg_valid", "agg_unique"):
         assert k in report, k
         assert np.isfinite(report[k]), k
     assert 0.0 <= report["gen_valid"] <= 1.0
@@ -55,3 +60,49 @@ def test_reconstruction_metrics():
     m = reconstruction_metrics(state.params, cfg, ds, jax.random.key(0), n=16)
     assert 0.0 <= m["recon_exact"] <= 1.0
     assert 0.0 <= m["recon_char_acc"] <= 1.0
+
+
+@pytest.mark.slow
+def test_interpolation_metrics_ranges():
+    cfg = tiny_cfg()
+    ds = synthetic_dataset(48, max_len=32, seed=2)
+    state = init_state(cfg)
+    m = interpolation_metrics(
+        state.params, cfg, ds, jax.random.key(0), n_pairs=4, steps=5
+    )
+    assert set(m) == {
+        "interp_valid", "interp_endpoint_exact", "interp_endpoint_char",
+        "interp_distinct",
+    }
+    for k, v in m.items():
+        assert 0.0 <= v <= 1.0, (k, v)
+    # a path has at least its two (distinct) endpoints' decodes available,
+    # and distinctness counts unique strings so it is at least 1/steps
+    assert m["interp_distinct"] >= 1 / 5
+
+
+@pytest.mark.slow
+def test_posterior_prior_metrics_fresh_model():
+    cfg = tiny_cfg()
+    ds = synthetic_dataset(64, max_len=32, seed=3)
+    state = init_state(cfg)
+    m = posterior_prior_metrics(state.params, cfg, ds, n=64)
+    assert m["post_mean_norm"] >= 0
+    assert m["post_std_mean"] > 0
+    # W2 to the prior is consistent with its own components
+    assert m["post_prior_w2"] >= 0
+    assert np.isfinite(m["post_prior_w2"])
+
+
+@pytest.mark.slow
+def test_aggregate_generation_metrics():
+    cfg = tiny_cfg()
+    ds = synthetic_dataset(96, max_len=32, seed=4)
+    state = init_state(cfg)
+    m = aggregate_generation_metrics(
+        state.params, cfg, jax.random.key(1), ds, n=16
+    )
+    assert set(m) == {"agg_valid", "agg_unique", "agg_novelty", "agg_mean_len"}
+    assert all(
+        0.0 <= m[k] <= 1.0 for k in ("agg_valid", "agg_unique", "agg_novelty")
+    )
