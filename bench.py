@@ -51,11 +51,19 @@ def measure_torch_cpu(codes: np.ndarray, charset_size: int, batch: int = 64, ste
     return batch * steps / dt
 
 
-def measure_molvax(codes: np.ndarray, charset_size: int, batch: int = 256, steps: int = 48):
+def measure_molvax(
+    codes: np.ndarray,
+    charset_size: int,
+    batch: int = 256,
+    steps: int = 48,
+    cfg=None,
+):
     """molvax production trainer (Pallas kernels + fused multi-step chunks)
     on the default backend (TPU when attached). Returns
     (smiles_per_sec, cfg, trained_state) - the state feeds the kernel
-    numerics gate and the config feeds the MFU accounting."""
+    numerics gate and the config feeds the MFU accounting. ``cfg`` defaults
+    to the zinc250k production preset; pass another preset to benchmark it
+    (VERDICT r2 next 5) — single-chip, so mesh axes are ignored."""
     import jax
 
     from molvax.config import zinc250k
@@ -63,13 +71,14 @@ def measure_molvax(codes: np.ndarray, charset_size: int, batch: int = 256, steps
     from molvax.train import init_state
     from molvax.train.loop import make_train_chunk
 
-    cfg = zinc250k()  # chunked, bf16, use_pallas (the production preset)
+    if cfg is None:
+        cfg = zinc250k()  # chunked, bf16, use_pallas (the production preset)
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(cfg.model, charset_size=charset_size),
         train=dataclasses.replace(cfg.train, batch_size=batch),
     )
-    K = cfg.train.train_chunk_size
+    K = max(1, cfg.train.train_chunk_size)
     mesh = make_mesh(devices=jax.devices()[:1])
     state = replicate(mesh, init_state(cfg))
     chunk_fn = make_train_chunk(cfg, K)
@@ -103,6 +112,57 @@ def measure_molvax(codes: np.ndarray, charset_size: int, batch: int = 256, steps
         dt = time.perf_counter() - t0
         rates.append(batch * K * n_chunks / dt)
     return float(np.median(rates[1:])), cfg, state
+
+
+def measure_generation(cfg, charset_size: int, batch: int = 256, steps: int = 5):
+    """Drain-honest free-running generation throughput (VERDICT r2 next 6):
+    device-time via the step_timer methodology (host fetch inside the timed
+    region), lax.scan path vs the fused Pallas kernel. Returns
+    {gen_smiles_per_sec, gen_fused_smiles_per_sec, gen_spread} — spread is
+    (max-min)/median across rounds of the scan path, the measurement-noise
+    disclosure the old '15-33k tunnel-noise' row lacked."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from molvax.latent.sample import generate
+    from molvax.train import init_state
+
+    mcfg = dataclasses.replace(cfg.model, charset_size=charset_size)
+    params = init_state(dataclasses.replace(cfg, model=mcfg)).params
+    z = jax.random.normal(jax.random.key(0), (batch, mcfg.latent_dim), jnp.float32)
+    key = jax.random.key(1)
+
+    def timed(m):
+        fn = lambda: generate(params, m, z, key, greedy=True)[0]  # noqa: E731
+        int(np.asarray(fn())[0, 0])  # compile + warm
+        times = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                out = fn()
+            int(np.asarray(out)[0, 0])
+            times.append((time.perf_counter() - t0) / steps)
+        times = times[1:]
+        med = float(np.median(times))
+        return batch / med, (max(times) - min(times)) / med
+
+    scan_rate, spread = timed(dataclasses.replace(mcfg, use_pallas_generation=False))
+    fused_rate = None
+    if jax.default_backend() == "tpu":
+        from molvax.kernels.generate import generation_kernel_supported
+
+        fused_cfg = dataclasses.replace(mcfg, use_pallas_generation=True)
+        if generation_kernel_supported(fused_cfg, batch):
+            fused_rate, _ = timed(fused_cfg)
+    out = {
+        "gen_smiles_per_sec": round(scan_rate, 1),
+        "gen_spread": round(spread, 3),
+    }
+    if fused_rate is not None:
+        out["gen_fused_smiles_per_sec"] = round(fused_rate, 1)
+    return out
 
 
 def main():
@@ -145,6 +205,35 @@ def main():
         file=sys.stderr,
     )
 
+    # Per-preset extras (VERDICT r2 next 5): the batch-64 reference config
+    # and the scaled 4xGRU-1024 preset (single-chip slice of its v5e-8
+    # mesh), each with its own MFU; plus the drain-honest generation
+    # benchmark (VERDICT r2 next 6).
+    extras = {}
+    if jax.default_backend() == "tpu":
+        from molvax.config import chemvae_5k, moses_scaled
+
+        b64_sps, b64_cfg, _ = measure_molvax(
+            codes, charset_size, batch=64, steps=48, cfg=chemvae_5k()
+        )
+        extras["value_b64"] = round(b64_sps, 1)
+        extras["mfu_b64"] = round(mfu(b64_sps, b64_cfg.model)["mfu"], 4)
+        print(f"chemvae_5k@64: {b64_sps:.1f} SMILES/sec/chip", file=sys.stderr)
+
+        scaled_sps, scaled_cfg, _ = measure_molvax(
+            codes, charset_size, batch=256, steps=48, cfg=moses_scaled()
+        )
+        extras["value_scaled"] = round(scaled_sps, 1)
+        extras["mfu_scaled"] = round(mfu(scaled_sps, scaled_cfg.model)["mfu"], 4)
+        print(
+            f"moses_scaled@256/chip: {scaled_sps:.1f} SMILES/sec/chip "
+            f"(MFU {extras['mfu_scaled']*100:.1f}%)",
+            file=sys.stderr,
+        )
+
+        extras.update(measure_generation(cfg, charset_size))
+        print(f"generation: {extras}", file=sys.stderr)
+
     # Compiled-kernel numerics gate (VERDICT r1 weak 3): on TPU, every bench
     # run re-validates the Mosaic kernels against their jnp references on the
     # just-trained weights; a numerics regression fails the bench loudly.
@@ -171,6 +260,7 @@ def main():
                 "mfu": round(util["mfu"], 4),
                 "tflops_sustained": round(util["tflops_sustained"], 2),
                 "flops_per_smiles": util["flops_per_smiles"],
+                **extras,
                 **gate,
             }
         )

@@ -1,0 +1,107 @@
+"""VERDICT r2 next 1: make one preset a real VAE.
+
+Round 2 left a trade: high-fidelity reconstruction (eps_scale=1e-2, 96.4%
+non-pad round trip, but prior validity 85%) OR high prior validity (99.4%
+at full eps, but ~9% round trip). This harness ablates the escape hatches
+at the same 16k-step budget and reports, per config:
+
+  * recon_char_acc_nonpad  (target >= 0.95)
+  * gen_valid              (prior z ~ N(0,I))
+  * agg_valid              (z ~ fitted aggregate posterior N(mu, Sigma))
+  * post_prior_w2          (how far the posterior sits from the prior)
+
+"Done" = one config with recon_nonpad >= 0.95 AND (gen_valid >= 0.95 or
+agg_valid >= 0.95 with the aggregate sampler documented as the preset's
+sampling path).
+
+    python -m bench.quality_ablation [--steps 16000] [--corpus 250000] \
+        [--eps 0.01 0.1 0.3]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+
+def run_one(eps: float, steps: int, corpus: int, free_bits: float = 0.1):
+    import jax
+
+    from molvax.config import zinc250k
+    from molvax.data import load_dataset
+    from molvax.train import train
+    from molvax.train.evaluate import evaluate
+
+    cfg = zinc250k()
+    cfg = dataclasses.replace(
+        cfg,
+        name=f"quality_eps{eps:g}",
+        model=dataclasses.replace(cfg.model, eps_scale=eps),
+        train=dataclasses.replace(
+            cfg.train,
+            steps=steps,
+            kl=dataclasses.replace(cfg.train.kl, free_bits=free_bits),
+            log_every=2000,
+        ),
+        data=dataclasses.replace(cfg.data, n_synthetic=corpus),
+    )
+    ds = load_dataset(
+        cfg.data.source,
+        max_len=cfg.data.max_len,
+        synthetic_n=cfg.data.n_synthetic,
+        seed=cfg.data.seed,
+    )
+    t0 = time.time()
+    state, _ = train(cfg, dataset=ds, verbose=False)
+    train_s = time.time() - t0
+    report = evaluate(state, cfg, ds, key=jax.random.key(7), n_prior=1000)
+    keep = {
+        k: round(float(v), 4)
+        for k, v in report.items()
+        if k
+        in (
+            "recon_char_acc_nonpad",
+            "recon_exact",
+            "gen_valid",
+            "gen_unique",
+            "gen_novelty",
+            "agg_valid",
+            "agg_unique",
+            "agg_novelty",
+            "post_prior_w2",
+            "post_mean_norm",
+            "post_std_mean",
+            "kl",
+            "acc",
+        )
+    }
+    keep["eps"] = eps
+    keep["train_s"] = round(train_s, 1)
+    return keep
+
+
+def main(argv):
+    steps, corpus = 16000, 250_000
+    eps_list = [0.01, 0.1, 0.3]
+    if "--steps" in argv:
+        steps = int(argv[argv.index("--steps") + 1])
+    if "--corpus" in argv:
+        corpus = int(argv[argv.index("--corpus") + 1])
+    if "--eps" in argv:
+        i = argv.index("--eps") + 1
+        eps_list = []
+        while i < len(argv) and not argv[i].startswith("--"):
+            eps_list.append(float(argv[i]))
+            i += 1
+    from molvax.utils import enable_persistent_cache
+
+    enable_persistent_cache()
+    for eps in eps_list:
+        out = run_one(eps, steps, corpus)
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
