@@ -114,7 +114,7 @@ def measure_molvax(
     return float(np.median(rates[1:])), cfg, state
 
 
-def measure_generation(cfg, charset_size: int, batch: int = 256, steps: int = 5):
+def measure_generation(cfg, charset_size: int, batch: int = 256, steps: int = 96):
     """Drain-honest free-running generation throughput (VERDICT r2 next 6):
     device-time via the step_timer methodology (host fetch inside the timed
     region), lax.scan path vs the fused Pallas kernel. Returns
@@ -138,7 +138,7 @@ def measure_generation(cfg, charset_size: int, batch: int = 256, steps: int = 5)
         fn = lambda: generate(params, m, z, key, greedy=True)[0]  # noqa: E731
         int(np.asarray(fn())[0, 0])  # compile + warm
         times = []
-        for _ in range(4):
+        for _ in range(5):
             t0 = time.perf_counter()
             for _ in range(steps):
                 out = fn()
