@@ -85,6 +85,12 @@ def quick_gate(params, mcfg, codes) -> Dict[str, float]:
 
     gate("per_layer", "none", "gru_err")  # the production training path
     if stack_plan_ok(gru_layers, B, t_gate):
+        # fused_stack is OPT-IN (gru_kernel='fused_stack'; 'auto' never
+        # routes here — the per-layer kernel wins every measured config).
+        # Its measured errors run ~5x the per-layer kernel's (one extra
+        # bf16 rounding per inter-layer hand-off inside the kernel), which
+        # the shared thresholds absorb; if it ever becomes a default path,
+        # give it its own tightened bound (VERDICT r2 weak 7).
         gate("fused_stack", "first", "gru_stack_err")
 
     # fused conv encoder vs jnp reference

@@ -109,15 +109,41 @@ def cmd_sample(args) -> int:
 
     cfg = _load_cfg(args)
     cfg, state, charset = _restore(cfg, args.ckpt, args)
-    smiles = sample_prior(
-        state.params,
-        cfg.model,
-        args.n,
-        jax.random.key(args.seed),
-        charset=charset,
-        greedy=not args.stochastic,
-        temperature=args.temperature,
-    )
+    if args.aggregate:
+        # Sample z from a Gaussian fit to the aggregate posterior over the
+        # training corpus instead of N(0, I) — the correct sampling path
+        # when evaluate reports a large post_prior_w2 (small-eps models).
+        from .data import load_dataset
+        from .latent import fit_aggregate_posterior, sample_aggregate
+
+        ds = load_dataset(
+            cfg.data.source,
+            max_len=cfg.data.max_len,
+            synthetic_n=cfg.data.n_synthetic,
+            seed=cfg.data.seed,
+        )
+        mean, chol = fit_aggregate_posterior(state.params, cfg.model, ds.codes)
+        smiles = sample_aggregate(
+            state.params,
+            cfg.model,
+            args.n,
+            jax.random.key(args.seed),
+            mean,
+            chol,
+            charset=charset,
+            greedy=not args.stochastic,
+            temperature=args.temperature,
+        )
+    else:
+        smiles = sample_prior(
+            state.params,
+            cfg.model,
+            args.n,
+            jax.random.key(args.seed),
+            charset=charset,
+            greedy=not args.stochastic,
+            temperature=args.temperature,
+        )
     for s in smiles:
         print(s)
     print(f"# grammar-valid: {valid_fraction(smiles):.2%}", file=sys.stderr)
@@ -307,6 +333,12 @@ def main(argv=None) -> int:
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--stochastic", action="store_true")
     sp.add_argument("--temperature", type=float, default=1.0)
+    sp.add_argument(
+        "--aggregate",
+        action="store_true",
+        help="sample z from the aggregate posterior fitted to the training "
+        "corpus instead of the N(0, I) prior",
+    )
     sp.set_defaults(fn=cmd_sample)
 
     sp = sub.add_parser("interpolate", help="latent interpolation between two SMILES")

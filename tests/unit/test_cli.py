@@ -66,6 +66,15 @@ def test_train_tiny_and_sample(tmp_path, capsys):
     out = capsys.readouterr().out
     assert len(out.strip().splitlines()) == 3
 
+    # aggregate-posterior sampling path (fits N(mean, cov) to the corpus)
+    rc = main(
+        ["sample", "--ckpt", ckpt, "-n", "3", "--aggregate"]
+        + overrides
+        + ["--override", "data.n_synthetic=64", "--override", "data.max_len=32"]
+    )
+    assert rc == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 3
+
     rc = main(["reconstruct", "--ckpt", ckpt, "CCO"] + overrides)
     assert rc == 0
     assert capsys.readouterr().out.startswith("CCO\t")
