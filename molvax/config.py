@@ -145,7 +145,9 @@ class TrainConfig:
 
 @dataclasses.dataclass(frozen=True)
 class DataConfig:
-    source: str = "synthetic"  # 'synthetic' | path to .h5/.smi/.csv
+    # 'synthetic' (grammar-level random strings) | 'synthetic_chem'
+    # (chemically valid molecules, data/molgen.py) | path to .h5/.smi/.csv
+    source: str = "synthetic"
     n_synthetic: int = 5000
     max_len: int = 120
     test_fraction: float = 0.05

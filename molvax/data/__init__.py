@@ -10,6 +10,7 @@ from .featurize import (
     valid_fraction,
 )
 from .pipeline import BatchIterator
+from .smiles_check import chem_valid, chem_valid_fraction, parse_smiles
 from .zinc import (
     Dataset,
     export_h5,
@@ -33,6 +34,9 @@ __all__ = [
     "one_hot_to_smiles",
     "smiles_to_one_hot",
     "valid_fraction",
+    "chem_valid",
+    "chem_valid_fraction",
+    "parse_smiles",
     "BatchIterator",
     "Dataset",
     "export_h5",

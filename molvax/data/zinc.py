@@ -215,8 +215,18 @@ def synthetic_dataset(
     max_len: int = 120,
     seed: int = 0,
     with_properties: bool = False,
+    chem: bool = False,
 ) -> Dataset:
-    smiles = synthetic_smiles(n, seed=seed, max_len=max_len - 2)
+    """``chem=True`` draws from `molgen.random_smiles` — every sample is a
+    chemically valid molecule (parser-verified by construction), so the
+    ``*_chem_valid`` evaluation metrics are meaningful. Default stays the
+    grammar-level corpus for round-1/2 metric continuity."""
+    if chem:
+        from .molgen import random_smiles
+
+        smiles = random_smiles(n, seed=seed, max_len=max_len - 2)
+    else:
+        smiles = synthetic_smiles(n, seed=seed, max_len=max_len - 2)
     codes = encode_smiles_native(smiles, charset, max_len)
     props = None
     if with_properties:
@@ -260,18 +270,22 @@ def load_dataset(
     seed: int = 0,
     with_properties: bool = False,
 ) -> Dataset:
-    """Dispatch on source: 'synthetic' | path.h5 | path.{smi,txt,csv}."""
-    if source != "synthetic" and not os.path.exists(source):
+    """Dispatch on source: 'synthetic' | 'synthetic_chem' | path.h5 |
+    path.{smi,txt,csv}. 'synthetic_chem' is the chemically-valid offline
+    corpus (data/molgen.py)."""
+    if source not in ("synthetic", "synthetic_chem") and not os.path.exists(source):
         raise FileNotFoundError(
-            f"dataset source {source!r} not found (use 'synthetic' for the offline corpus)"
+            f"dataset source {source!r} not found (use 'synthetic' or "
+            "'synthetic_chem' for the offline corpora)"
         )
-    if source == "synthetic":
+    if source in ("synthetic", "synthetic_chem"):
         return synthetic_dataset(
             synthetic_n,
             charset or DEFAULT_CHARSET,
             max_len,
             seed,
             with_properties=with_properties,
+            chem=source == "synthetic_chem",
         )
     if source.endswith((".h5", ".hdf5")):
         ds = load_h5(source)

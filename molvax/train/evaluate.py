@@ -19,6 +19,7 @@ import numpy as np
 from ..config import Config
 from ..data.charset import Charset, DEFAULT_CHARSET
 from ..data.featurize import decode_codes, is_valid_smiles
+from ..data.smiles_check import chem_valid_fraction
 from ..data.native import decode_codes_native
 from ..data.zinc import Dataset
 from ..latent.sample import generate
@@ -86,6 +87,11 @@ def generation_metrics(
         novelty = len(novel) / max(len(uniq_valid), 1)
     return {
         "gen_valid": valid,
+        # chemistry-level validity (real parser with valence accounting,
+        # data/smiles_check.py) — meaningful when training on
+        # 'synthetic_chem' or real corpora; near zero on the grammar-level
+        # synthetic corpus whose own training data is chemically invalid
+        "gen_chem_valid": chem_valid_fraction(smiles),
         "gen_unique": uniq,
         "gen_novelty": novelty,
         "gen_mean_len": float(np.mean([len(s) for s in smiles])),
@@ -183,6 +189,9 @@ def interpolation_metrics(
     distinct = float(np.mean([len(set(p)) / steps for p in paths]))
     return {
         "interp_valid": valid,
+        "interp_chem_valid": chem_valid_fraction(
+            [s for p in paths for s in p]
+        ),
         "interp_endpoint_exact": exact,
         "interp_endpoint_char": char,
         "interp_distinct": distinct,
@@ -258,6 +267,7 @@ def aggregate_generation_metrics(
     novel = [s for s in uniq_valid if s not in train_set]
     return {
         "agg_valid": len(valid_smiles) / max(len(smiles), 1),
+        "agg_chem_valid": chem_valid_fraction(smiles),
         "agg_unique": len(uniq_valid) / max(len(valid_smiles), 1),
         "agg_novelty": len(novel) / max(len(uniq_valid), 1),
         "agg_mean_len": float(np.mean([len(s) for s in smiles])),

@@ -48,7 +48,10 @@ def test_generation_metrics_ranges():
     cfg = tiny_cfg()
     state = init_state(cfg)
     m = generation_metrics(state.params, cfg, jax.random.key(0), n=16)
-    assert set(m) == {"gen_valid", "gen_unique", "gen_novelty", "gen_mean_len"}
+    assert set(m) == {
+        "gen_valid", "gen_chem_valid", "gen_unique", "gen_novelty",
+        "gen_mean_len",
+    }
     assert all(0.0 <= m[k] <= 1.0 for k in ("gen_valid", "gen_unique", "gen_novelty"))
 
 
@@ -71,8 +74,8 @@ def test_interpolation_metrics_ranges():
         state.params, cfg, ds, jax.random.key(0), n_pairs=4, steps=5
     )
     assert set(m) == {
-        "interp_valid", "interp_endpoint_exact", "interp_endpoint_char",
-        "interp_distinct",
+        "interp_valid", "interp_chem_valid", "interp_endpoint_exact",
+        "interp_endpoint_char", "interp_distinct",
     }
     for k, v in m.items():
         assert 0.0 <= v <= 1.0, (k, v)
@@ -102,7 +105,10 @@ def test_aggregate_generation_metrics():
     m = aggregate_generation_metrics(
         state.params, cfg, jax.random.key(1), ds, n=16
     )
-    assert set(m) == {"agg_valid", "agg_unique", "agg_novelty", "agg_mean_len"}
+    assert set(m) == {
+        "agg_valid", "agg_chem_valid", "agg_unique", "agg_novelty",
+        "agg_mean_len",
+    }
     assert all(
         0.0 <= m[k] <= 1.0 for k in ("agg_valid", "agg_unique", "agg_novelty")
     )
