@@ -26,7 +26,15 @@ import sys
 import time
 
 
-def run_one(eps: float, steps: int, corpus: int, free_bits: float = 0.1):
+def run_one(
+    eps: float,
+    steps: int,
+    corpus: int,
+    free_bits: float = 0.1,
+    holdout: bool = False,
+    source: str = "synthetic",
+    seed: int = 0,
+):
     import jax
 
     from molvax.config import zinc250k
@@ -42,10 +50,11 @@ def run_one(eps: float, steps: int, corpus: int, free_bits: float = 0.1):
         train=dataclasses.replace(
             cfg.train,
             steps=steps,
+            seed=seed,
             kl=dataclasses.replace(cfg.train.kl, free_bits=free_bits),
             log_every=2000,
         ),
-        data=dataclasses.replace(cfg.data, n_synthetic=corpus),
+        data=dataclasses.replace(cfg.data, n_synthetic=corpus, source=source),
     )
     ds = load_dataset(
         cfg.data.source,
@@ -53,10 +62,22 @@ def run_one(eps: float, steps: int, corpus: int, free_bits: float = 0.1):
         synthetic_n=cfg.data.n_synthetic,
         seed=cfg.data.seed,
     )
+    train_ds, eval_ds = ds, ds
+    if holdout:
+        # --holdout: reconstruction/teacher-forced metrics on data the
+        # model never saw; novelty/aggregate-fit stay on the train split
+        train_ds, eval_ds = ds.split(0.05, cfg.data.seed)
     t0 = time.time()
-    state, _ = train(cfg, dataset=ds, verbose=False)
+    state, _ = train(cfg, dataset=train_ds, verbose=False)
     train_s = time.time() - t0
-    report = evaluate(state, cfg, ds, key=jax.random.key(7), n_prior=1000)
+    report = evaluate(
+        state,
+        cfg,
+        eval_ds,
+        key=jax.random.key(7),
+        n_prior=1000,
+        train_dataset=train_ds if holdout else None,
+    )
     keep = {
         k: round(float(v), 4)
         for k, v in report.items()
@@ -65,6 +86,8 @@ def run_one(eps: float, steps: int, corpus: int, free_bits: float = 0.1):
             "recon_char_acc_nonpad",
             "recon_exact",
             "gen_valid",
+            "gen_chem_valid",
+            "agg_chem_valid",
             "gen_unique",
             "gen_novelty",
             "agg_valid",
@@ -78,6 +101,9 @@ def run_one(eps: float, steps: int, corpus: int, free_bits: float = 0.1):
         )
     }
     keep["eps"] = eps
+    keep["seed"] = seed
+    if holdout:
+        keep["holdout"] = True
     keep["train_s"] = round(train_s, 1)
     return keep
 
@@ -85,10 +111,21 @@ def run_one(eps: float, steps: int, corpus: int, free_bits: float = 0.1):
 def main(argv):
     steps, corpus = 16000, 250_000
     eps_list = [0.01, 0.1, 0.3]
+    seeds = [0]
+    source = "synthetic"
+    holdout = "--holdout" in argv
     if "--steps" in argv:
         steps = int(argv[argv.index("--steps") + 1])
     if "--corpus" in argv:
         corpus = int(argv[argv.index("--corpus") + 1])
+    if "--source" in argv:
+        source = argv[argv.index("--source") + 1]
+    if "--seeds" in argv:
+        i = argv.index("--seeds") + 1
+        seeds = []
+        while i < len(argv) and not argv[i].startswith("--"):
+            seeds.append(int(argv[i]))
+            i += 1
     if "--eps" in argv:
         i = argv.index("--eps") + 1
         eps_list = []
@@ -99,8 +136,11 @@ def main(argv):
 
     enable_persistent_cache()
     for eps in eps_list:
-        out = run_one(eps, steps, corpus)
-        print(json.dumps(out), flush=True)
+        for seed in seeds:
+            out = run_one(
+                eps, steps, corpus, holdout=holdout, source=source, seed=seed
+            )
+            print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

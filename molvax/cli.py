@@ -194,12 +194,18 @@ def cmd_evaluate(args) -> int:
         seed=cfg.data.seed,
         with_properties=cfg.model.n_properties > 0,
     )
+    train_ds = None
+    if getattr(args, "holdout", False):
+        # evaluate on data the model never saw; novelty reference and the
+        # aggregate-posterior fit stay on the training split
+        train_ds, dataset = dataset.split(cfg.data.test_fraction, cfg.data.seed)
     report = evaluate(
         state,
         cfg,
         dataset,
         n_prior=args.n_prior,
         sweep_temperatures=getattr(args, "sweep", False),
+        train_dataset=train_ds,
     )
     print(json.dumps({k: round(v, 5) for k, v in report.items()}, sort_keys=True))
     return 0
@@ -362,6 +368,13 @@ def main(argv=None) -> int:
     common(sp)
     sp.add_argument("--ckpt", required=True)
     sp.add_argument("--n-prior", type=int, default=1000)
+    sp.add_argument(
+        "--holdout",
+        action="store_true",
+        help="evaluate on the data.test_fraction split (same split the "
+        "train loop holds out when train.eval_every is set; if the model "
+        "was trained WITHOUT eval_every it saw this data too)",
+    )
     sp.add_argument(
         "--sweep",
         action="store_true",

@@ -309,17 +309,24 @@ def evaluate(
     sweep_temperatures: bool = False,
     interpolation: bool = True,
     aggregate_posterior: bool = True,
+    train_dataset: Optional[Dataset] = None,
 ) -> Dict[str, float]:
     """Full report: teacher-forced + generation + reconstruction +
     interpolation-path + posterior/prior-mismatch (+ aggregate-posterior
-    generation, + optional temperature sweep) metrics."""
+    generation, + optional temperature sweep) metrics.
+
+    For held-out evaluation pass the held-out split as ``dataset`` (drives
+    teacher-forced/reconstruction/interpolation/posterior metrics) and the
+    training split as ``train_dataset`` — the novelty reference set and the
+    aggregate-posterior fit must come from data the model trained on.
+    With ``train_dataset=None`` both roles fall to ``dataset`` (the
+    historical in-sample report)."""
     key = key if key is not None else jax.random.key(0)
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    ref = train_dataset if train_dataset is not None else dataset
     metrics = teacher_forced_metrics(state, cfg, dataset)
     metrics.update(
-        generation_metrics(
-            state.params, cfg, k1, n=n_prior, train_dataset=dataset
-        )
+        generation_metrics(state.params, cfg, k1, n=n_prior, train_dataset=ref)
     )
     metrics.update(reconstruction_metrics(state.params, cfg, dataset, k2))
     metrics.update(posterior_prior_metrics(state.params, cfg, dataset))
@@ -334,11 +341,11 @@ def evaluate(
     if aggregate_posterior:
         metrics.update(
             aggregate_generation_metrics(
-                state.params, cfg, k5, dataset, n=n_prior
+                state.params, cfg, k5, ref, n=n_prior
             )
         )
     if sweep_temperatures:
         metrics.update(
-            temperature_sweep(state.params, cfg, k3, train_dataset=dataset)
+            temperature_sweep(state.params, cfg, k3, train_dataset=ref)
         )
     return metrics
