@@ -239,31 +239,70 @@ def write_smiles(mol: Molecule, rng: Optional[np.random.Generator] = None,
     return emit(root, 1)
 
 
+_MUTATION_SYMBOLS = ("C", "N", "O", "S", "F", "Cl", "Br")
+
+
+def _mutate_labels(
+    mol: Molecule, rng: np.random.Generator, rate: float
+) -> List[Tuple[int, str]]:
+    """Swap non-aromatic atom labels to other symbols whose valence covers
+    the atom's existing bonds (chem-validity preserved by construction).
+    Mutates in place; returns the undo list [(index, old_symbol), ...]."""
+    undo: List[Tuple[int, str]] = []
+    for i in range(len(mol)):
+        if mol.aromatic[i] or rng.random() >= rate:
+            continue
+        used = sum(mol.adj[i].values()) + mol.explicit_h[i]
+        cands = [
+            s for s in _MUTATION_SYMBOLS
+            if _VALENCE[s] >= used and s != mol.symbols[i]
+        ]
+        if cands:
+            undo.append((i, mol.symbols[i]))
+            mol.symbols[i] = cands[int(rng.integers(len(cands)))]
+    return undo
+
+
 def random_smiles(
     n: int,
     seed: int = 0,
     max_len: int = 118,
     min_len: int = 8,
     n_templates: Optional[int] = None,
+    mutation_rate: float = 0.03,
 ) -> List[str]:
-    """n chemically-valid SMILES from a pool of template molecules, each
-    rendered via randomized DFS (distinct strings, identical molecules) —
-    the drop-in chem-valid counterpart of `zinc.synthetic_smiles`."""
+    """n chemically-valid SMILES from a pool of template molecules — the
+    drop-in chem-valid counterpart of `zinc.synthetic_smiles`.
+
+    Redundancy statistics matter as much as validity (round-3 A/B at equal
+    16k-step budget): a fresh randomized rendering per sample makes every
+    string unique and cripples the character model (26% non-pad
+    round-trip), while sampling from a small FIXED string pool lets it
+    memorize outright (100% round-trip, 10% prior validity). What works —
+    and is what both the grammar corpus's `_mutate` and real canonical-
+    SMILES corpora look like — is NEAR-duplicates: each template renders
+    through one deterministic DFS (per-template seed), and each sample
+    swaps a few atom labels valence-safely before rendering, so strings
+    differ from their template in a few characters only."""
     rng = np.random.default_rng(seed)
     k = n_templates or max(20, min(n // 50, 2000))
 
-    def make_template() -> Molecule:
-        while True:
-            mol = random_molecule(rng)
-            s = write_smiles(mol, rng)
-            if min_len <= len(s) <= max_len:
-                return mol
+    templates: List[Tuple[Molecule, int]] = []
+    while len(templates) < min(k, n):
+        mol = random_molecule(rng)
+        render_seed = int(rng.integers(2**31))
+        s = write_smiles(mol, np.random.default_rng(render_seed))
+        if min_len <= len(s) <= max_len:
+            templates.append((mol, render_seed))
 
-    templates = [make_template() for _ in range(min(k, n))]
     out: List[str] = []
-    while len(out) < n:
-        mol = templates[int(rng.integers(len(templates)))]
-        s = write_smiles(mol, rng)
-        if len(s) <= max_len:
-            out.append(s)
+    for _ in range(n):
+        mol, render_seed = templates[int(rng.integers(len(templates)))]
+        undo = _mutate_labels(mol, rng, mutation_rate)
+        s = write_smiles(mol, np.random.default_rng(render_seed))
+        for i, old in undo:
+            mol.symbols[i] = old
+        if not (min_len <= len(s) <= max_len):  # halogen swaps shift length
+            s = write_smiles(mol, np.random.default_rng(render_seed))
+        out.append(s)
     return out
