@@ -193,6 +193,7 @@ def cmd_evaluate(args) -> int:
         synthetic_n=cfg.data.n_synthetic,
         seed=cfg.data.seed,
         with_properties=cfg.model.n_properties > 0,
+        property_source=cfg.data.property_source,
     )
     train_ds = None
     if getattr(args, "holdout", False):

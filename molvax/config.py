@@ -148,6 +148,11 @@ class DataConfig:
     # 'synthetic' (grammar-level random strings) | 'synthetic_chem'
     # (chemically valid molecules, data/molgen.py) | path to .h5/.smi/.csv
     source: str = "synthetic"
+    # Property-head targets: 'auto' uses computed structure-level
+    # logP/QED/SAS (data/properties.py) when >=50% of the corpus parses
+    # chemically, composition surrogates otherwise; 'computed'/'surrogate'
+    # force one path (zinc.property_targets).
+    property_source: str = "auto"
     n_synthetic: int = 5000
     max_len: int = 120
     test_fraction: float = 0.05
@@ -262,12 +267,25 @@ def zinc250k_quality() -> Config:
 
 
 def property_joint() -> Config:
-    """Preset 3: joint logP/QED/SAS regression head on z, multi-task ELBO."""
-    return Config(
+    """Preset 3: joint logP/QED/SAS regression head on z, multi-task ELBO.
+
+    Trains on the chemically-valid corpus so the targets are the computed
+    structure-level logP/QED/SAS (data/properties.py via
+    zinc.property_targets 'auto'), not composition surrogates — and
+    latent-space optimization can be scored by re-computing the property
+    on decoded molecules (evaluate.optimization_metrics)."""
+    cfg = zinc250k()  # the measured-good training recipe (kernels, bf16,
+    #                   learned start, cyclical KL) — property work rides it
+    return dataclasses.replace(
+        cfg,
         name="property_joint",
-        model=ModelConfig(n_properties=3),
-        train=TrainConfig(batch_size=256, epochs=50, property_loss_weight=1.0),
-        data=DataConfig(n_synthetic=250_000),
+        model=dataclasses.replace(cfg.model, n_properties=3, eps_scale=0.03),
+        train=dataclasses.replace(
+            cfg.train,
+            property_loss_weight=1.0,
+            kl=dataclasses.replace(cfg.train.kl, free_bits=0.1),
+        ),
+        data=dataclasses.replace(cfg.data, source="synthetic_chem"),
     )
 
 
@@ -303,7 +321,7 @@ def latent_workloads() -> Config:
         name="latent_workloads",
         model=ModelConfig(n_properties=3),
         train=TrainConfig(batch_size=256, epochs=5),
-        data=DataConfig(n_synthetic=50_000),
+        data=DataConfig(n_synthetic=50_000, source="synthetic_chem"),
     )
 
 

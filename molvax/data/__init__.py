@@ -10,13 +10,15 @@ from .featurize import (
     valid_fraction,
 )
 from .pipeline import BatchIterator
-from .smiles_check import chem_valid, chem_valid_fraction, parse_smiles
+from .properties import computed_properties, descriptors, properties_of
+from .smiles_check import chem_valid, chem_valid_fraction, parse_graph, parse_smiles
 from .zinc import (
     Dataset,
     export_h5,
     load_dataset,
     load_h5,
     load_smiles_file,
+    property_targets,
     surrogate_properties,
     synthetic_dataset,
     synthetic_smiles,
@@ -36,7 +38,12 @@ __all__ = [
     "valid_fraction",
     "chem_valid",
     "chem_valid_fraction",
+    "computed_properties",
+    "descriptors",
+    "parse_graph",
     "parse_smiles",
+    "properties_of",
+    "property_targets",
     "BatchIterator",
     "Dataset",
     "export_h5",

@@ -23,11 +23,14 @@ a single-pass parser with chemical bookkeeping:
 
 `parse_smiles` returns (ok, reason); `chem_valid` is the boolean gate and
 `chem_valid_fraction` the corpus metric used alongside the grammar-level
-one in `train/evaluate.py`.
+one in `train/evaluate.py`. `parse_graph` additionally returns the parsed
+molecular graph (atoms + bond list with orders) — the substrate for the
+computed property targets in `data/properties.py` (round 3).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import re
 from typing import Iterable, List, Optional, Tuple
 
@@ -112,11 +115,30 @@ def _valence_ok(a: _Atom) -> bool:
     return any(total <= v + slack for v in allowed)
 
 
-def parse_smiles(s: str) -> Tuple[bool, str]:
-    """Parse one SMILES string. Returns (ok, reason); reason is '' when ok."""
+@dataclasses.dataclass(frozen=True)
+class MolGraph:
+    """Parsed molecular graph: per-atom records plus a bond list.
+
+    ``atoms[i]`` is ``(symbol, aromatic, charge, hcount)`` where ``hcount``
+    is the explicit bracket H count, or ``None`` for organic-subset atoms
+    whose hydrogens are implicit (fill rule: `properties.implicit_h`).
+    ``bonds`` holds ``(a, b, order)`` with a < b possible in either slot;
+    ring-closure bonds are included. Built by `parse_graph`."""
+
+    atoms: Tuple[Tuple[str, bool, int, Optional[int]], ...]
+    bonds: Tuple[Tuple[int, int, int], ...]
+
+    def __len__(self) -> int:
+        return len(self.atoms)
+
+
+def _parse(s: str):
+    """Internal single-pass parse. Returns (atoms, bonds, reason) —
+    atoms/bonds are None when the string is rejected."""
     if not s:
-        return False, "empty"
+        return None, None, "empty"
     atoms: List[_Atom] = []
+    bonds: List[Tuple[int, int, int]] = []
     prev: Optional[int] = None  # index of the atom a new bond attaches to
     stack: List[Optional[int]] = []
     pending: Optional[int] = None  # explicit bond order awaiting its atom
@@ -141,6 +163,7 @@ def parse_smiles(s: str) -> Tuple[bool, str]:
             order = order_hint or other_hint or 1
             atoms[other].bond_sum += order
             atoms[prev].bond_sum += order
+            bonds.append((other, prev, order))
         else:
             rings[digit] = (prev, order_hint)
         return None
@@ -153,6 +176,7 @@ def parse_smiles(s: str) -> Tuple[bool, str]:
             order = pending if pending is not None else 1
             atoms[prev].bond_sum += order
             atom.bond_sum += order
+            bonds.append((prev, idx, order))
         pending = None
         prev = idx
         branch_opened_here = False
@@ -163,10 +187,10 @@ def parse_smiles(s: str) -> Tuple[bool, str]:
         if ch == "[":
             j = s.find("]", i)
             if j < 0:
-                return False, "unclosed bracket atom"
+                return None, None,"unclosed bracket atom"
             atom = _parse_bracket(s[i + 1 : j])
             if atom is None:
-                return False, f"bad bracket atom [{s[i + 1:j]}]"
+                return None, None,f"bad bracket atom [{s[i + 1:j]}]"
             add_atom(atom)
             i = j + 1
         elif ch in ("C", "B") and i + 1 < n and s[i : i + 2] in ("Cl", "Br"):
@@ -180,61 +204,82 @@ def parse_smiles(s: str) -> Tuple[bool, str]:
             i += 1
         elif ch in _BOND_ORDER:
             if pending is not None:
-                return False, "two bonds in a row"
+                return None, None,"two bonds in a row"
             if prev is None:
-                return False, "bond before any atom"
+                return None, None,"bond before any atom"
             pending = _BOND_ORDER[ch]
             i += 1
         elif ch.isdigit() or ch == "%":
             if ch == "%":
                 if i + 2 >= n or not s[i + 1 : i + 3].isdigit():
-                    return False, "bad %ring digits"
+                    return None, None,"bad %ring digits"
                 digit, i = s[i + 1 : i + 3], i + 3
             else:
                 digit, i = ch, i + 1
             err = close_ring(digit, pending)
             pending = None
             if err:
-                return False, err
+                return None, None,err
         elif ch == "(":
             if prev is None:
-                return False, "branch before any atom"
+                return None, None,"branch before any atom"
             if pending is not None:
-                return False, "bond before branch open"
+                return None, None,"bond before branch open"
             stack.append(prev)
             branch_opened_here = True
             i += 1
         elif ch == ")":
             if not stack:
-                return False, "unmatched ')'"
+                return None, None,"unmatched ')'"
             if pending is not None:
-                return False, "dangling bond at branch end"
+                return None, None,"dangling bond at branch end"
             if branch_opened_here:
-                return False, "empty branch"
+                return None, None,"empty branch"
             prev = stack.pop()
             i += 1
         elif ch == ".":
             if pending is not None:
-                return False, "bond across dot"
+                return None, None,"bond across dot"
             if prev is None:
-                return False, "leading dot"
+                return None, None,"leading dot"
             prev = None
             i += 1
         else:
-            return False, f"unexpected character {ch!r}"
+            return None, None,f"unexpected character {ch!r}"
 
     if stack:
-        return False, "unclosed branch"
+        return None, None,"unclosed branch"
     if pending is not None:
-        return False, "dangling bond at end"
+        return None, None,"dangling bond at end"
     if rings:
-        return False, f"unclosed ring digit(s) {sorted(rings)}"
+        return None, None,f"unclosed ring digit(s) {sorted(rings)}"
     if not atoms:
-        return False, "no atoms"
+        return None, None,"no atoms"
     for a in atoms:
         if not _valence_ok(a):
-            return False, f"valence of {a.symbol} exceeded ({a.bond_sum}+{a.explicit_h}H)"
-    return True, ""
+            return None, None, f"valence of {a.symbol} exceeded ({a.bond_sum}+{a.explicit_h}H)"
+    return atoms, bonds, ""
+
+
+def parse_smiles(s: str) -> Tuple[bool, str]:
+    """Parse one SMILES string. Returns (ok, reason); reason is '' when ok."""
+    atoms, _, reason = _parse(s)
+    return atoms is not None, reason
+
+
+def parse_graph(s: str) -> Optional[MolGraph]:
+    """Parse one SMILES string into its molecular graph, or None if it is
+    not chemically valid (same acceptance as `parse_smiles`)."""
+    atoms, bonds, _ = _parse(s)
+    if atoms is None:
+        return None
+    return MolGraph(
+        atoms=tuple(
+            (a.symbol, a.aromatic, a.charge, a.explicit_h if a.bracket else None)
+            for a in atoms
+        ),
+        bonds=tuple(bonds),
+    )
 
 
 def chem_valid(s: str) -> bool:

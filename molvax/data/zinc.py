@@ -216,6 +216,7 @@ def synthetic_dataset(
     seed: int = 0,
     with_properties: bool = False,
     chem: bool = False,
+    property_source: str = "auto",
 ) -> Dataset:
     """``chem=True`` draws from `molgen.random_smiles` — every sample is a
     chemically valid molecule (parser-verified by construction), so the
@@ -230,8 +231,34 @@ def synthetic_dataset(
     codes = encode_smiles_native(smiles, charset, max_len)
     props = None
     if with_properties:
-        props = surrogate_properties(codes, charset)
+        props = property_targets(smiles, codes, charset, property_source)
     return Dataset(codes=codes, charset=charset, properties=props)
+
+
+def property_targets(
+    smiles: List[str],
+    codes: np.ndarray,
+    charset: Charset,
+    mode: str = "auto",
+) -> np.ndarray:
+    """(N, 3) float32 logP/QED/SAS targets for the property head.
+
+    mode='computed': real structure-level descriptors on the parsed
+    molecular graph (`data/properties.py` — Crippen-style fitted logP,
+    QED-style drug-likeness, SAS-style complexity); unparseable rows get
+    the column means. mode='surrogate': the round-1/2 composition
+    surrogates. mode='auto' (default): computed when at least half the
+    corpus parses chemically (the chem corpus and real ZINC/MOSES files),
+    surrogate otherwise (the grammar-level corpus, where structural
+    descriptors are undefined)."""
+    if mode == "surrogate":
+        return surrogate_properties(codes, charset)
+    from .properties import computed_properties
+
+    props, mask = computed_properties(smiles)
+    if mode == "computed" or (len(mask) > 0 and float(mask.mean()) >= 0.5):
+        return props
+    return surrogate_properties(codes, charset)
 
 
 def surrogate_properties(codes: np.ndarray, charset: Charset) -> np.ndarray:
@@ -269,6 +296,7 @@ def load_dataset(
     synthetic_n: int = 5000,
     seed: int = 0,
     with_properties: bool = False,
+    property_source: str = "auto",
 ) -> Dataset:
     """Dispatch on source: 'synthetic' | 'synthetic_chem' | path.h5 |
     path.{smi,txt,csv}. 'synthetic_chem' is the chemically-valid offline
@@ -286,11 +314,16 @@ def load_dataset(
             seed,
             with_properties=with_properties,
             chem=source == "synthetic_chem",
+            property_source=property_source,
         )
     if source.endswith((".h5", ".hdf5")):
         ds = load_h5(source)
     else:
         ds = load_smiles_file(source, charset, max_len)
     if with_properties and ds.properties is None:
-        ds.properties = surrogate_properties(ds.codes, ds.charset)
+        from .featurize import decode_codes
+
+        ds.properties = property_targets(
+            decode_codes(ds.codes, ds.charset), ds.codes, ds.charset, property_source
+        )
     return ds

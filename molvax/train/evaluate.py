@@ -274,6 +274,64 @@ def aggregate_generation_metrics(
     }
 
 
+def optimization_metrics(
+    params,
+    cfg: Config,
+    dataset: Dataset,
+    key: Array,
+    n: int = 64,
+    steps: int = 100,
+    lr: float = 0.05,
+    property_index: int = 0,
+    charset: Optional[Charset] = None,
+) -> Dict[str, float]:
+    """The ChemVAE headline loop, closed offline (SURVEY.md 2.10/2.11,
+    BASELINE.json:11): encode molecules -> gradient-ascend the property
+    head's prediction in z (latent/optimize.py) -> greedy-decode -> and
+    RE-compute the property on the decoded strings with the structural
+    calculator (data/properties.py). The lift is scored in actual computed
+    property units on the decoded molecules, not the head's belief:
+
+    * opt_pred_lift  — mean predicted gain the head claims (de-normalized)
+    * opt_real_lift  — mean computed gain, optimized decode vs seed decode,
+                       over pairs where both decodes parse chemically
+    * opt_chem_valid — fraction of optimized decodes that parse chemically
+    * opt_pairs      — number of scored pairs behind opt_real_lift
+    """
+    from ..data.properties import properties_of
+    from ..latent.optimize import default_objective, optimize_z
+
+    charset = charset or dataset.charset
+    codes = jnp.asarray(dataset.codes[:n])
+    mu, _ = vae.encode(params, cfg.model, codes)
+    objective = default_objective(cfg.model, property_index=property_index)
+    result = optimize_z(
+        params, cfg.model, mu, objective=objective, steps=steps, lr=lr
+    )
+    k1, k2 = jax.random.split(key)
+    seed_codes, _ = generate(params, cfg.model, mu, k1, greedy=True)
+    opt_codes, _ = generate(params, cfg.model, result.z, k2, greedy=True)
+    seed_smiles = decode_codes(seed_codes, charset)
+    opt_smiles = decode_codes(opt_codes, charset)
+    lifts = []
+    chem_ok = 0
+    for s0, s1 in zip(seed_smiles, opt_smiles):
+        p1 = properties_of(s1)
+        if p1 is not None:
+            chem_ok += 1
+        p0 = properties_of(s0)
+        if p0 is not None and p1 is not None:
+            lifts.append(p1[property_index] - p0[property_index])
+    return {
+        "opt_pred_lift": float(
+            jnp.mean(result.objective - result.objective_start)
+        ),
+        "opt_real_lift": float(np.mean(lifts)) if lifts else 0.0,
+        "opt_chem_valid": chem_ok / max(len(opt_smiles), 1),
+        "opt_pairs": float(len(lifts)),
+    }
+
+
 def temperature_sweep(
     params,
     cfg: Config,
@@ -321,8 +379,20 @@ def evaluate(
     aggregate-posterior fit must come from data the model trained on.
     With ``train_dataset=None`` both roles fall to ``dataset`` (the
     historical in-sample report)."""
+    if (
+        cfg.model.n_properties > 0
+        and cfg.model.property_mean is None
+        and dataset.properties is not None
+    ):
+        # train() standardizes property targets via effective_config and the
+        # stats persist in the checkpoint's config.json — but a caller who
+        # built cfg by hand (not via _restore) would otherwise compare the
+        # head's normalized predictions against raw targets here.
+        from .loop import effective_config
+
+        cfg = effective_config(cfg, train_dataset or dataset)
     key = key if key is not None else jax.random.key(0)
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
     ref = train_dataset if train_dataset is not None else dataset
     metrics = teacher_forced_metrics(state, cfg, dataset)
     metrics.update(
@@ -343,6 +413,10 @@ def evaluate(
             aggregate_generation_metrics(
                 state.params, cfg, k5, ref, n=n_prior
             )
+        )
+    if cfg.model.n_properties > 0 and "property_head" in state.params:
+        metrics.update(
+            optimization_metrics(state.params, cfg, dataset, k6)
         )
     if sweep_temperatures:
         metrics.update(

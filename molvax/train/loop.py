@@ -281,6 +281,7 @@ def train(
             synthetic_n=cfg.data.n_synthetic,
             seed=cfg.data.seed,
             with_properties=cfg.model.n_properties > 0,
+            property_source=cfg.data.property_source,
         )
     cfg = effective_config(cfg, dataset)
     if eval_dataset is None and cfg.train.eval_every:
