@@ -133,6 +133,7 @@ def cmd_sample(args) -> int:
             charset=charset,
             greedy=not args.stochastic,
             temperature=args.temperature,
+            constrained=args.constrained,
         )
     else:
         smiles = sample_prior(
@@ -143,10 +144,19 @@ def cmd_sample(args) -> int:
             charset=charset,
             greedy=not args.stochastic,
             temperature=args.temperature,
+            constrained=args.constrained,
         )
     for s in smiles:
         print(s)
     print(f"# grammar-valid: {valid_fraction(smiles):.2%}", file=sys.stderr)
+    if args.constrained:
+        from .data import chem_valid_fraction
+
+        print(
+            f"# chem-valid: {chem_valid_fraction(smiles):.2%} "
+            "(valence-constrained decode)",
+            file=sys.stderr,
+        )
     return 0
 
 
@@ -345,6 +355,12 @@ def main(argv=None) -> int:
         action="store_true",
         help="sample z from the aggregate posterior fitted to the training "
         "corpus instead of the N(0, I) prior",
+    )
+    sp.add_argument(
+        "--constrained",
+        action="store_true",
+        help="valence-constrained decoding: mask tokens the SMILES validity "
+        "parser would reject, so every sample is chemically valid",
     )
     sp.set_defaults(fn=cmd_sample)
 

@@ -29,7 +29,10 @@ from ..nn.gru import gru_stack_step
 Array = jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "greedy", "temperature"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "greedy", "temperature", "constrained", "charset"),
+)
 def generate(
     params,
     cfg: ModelConfig,
@@ -37,22 +40,66 @@ def generate(
     key: Optional[Array] = None,
     greedy: bool = True,
     temperature: float = 1.0,
+    constrained: bool = False,
+    charset: Charset = DEFAULT_CHARSET,
 ) -> Tuple[Array, Array]:
     """z: (B, L) -> (codes (B, T) int32, logits (B, T, C)).
 
     'teacher_forced' models run the autoregressive feedback scan;
     'repeat_z' models decode in one non-autoregressive pass (their decoder
-    never sees its own outputs - reference behavior)."""
+    never sees its own outputs - reference behavior).
+
+    ``constrained=True`` threads the valence automaton of
+    `latent/constrain.py` through the decode: at each step, tokens the
+    SMILES validity parser would reject are masked to -inf before
+    argmax/sampling, so every emitted string is chemically valid by
+    construction. The automaton tables are built from ``charset`` (static;
+    must match ``cfg.charset_size``); routes through the scan path (the
+    fused VMEM-resident kernel does not carry the automaton)."""
     dec = params["decoder"]
     B = z.shape[0]
     T, C = cfg.max_len, cfg.charset_size
     if key is None:
         key = jax.random.key(0)
 
+    con_tb = con_state = None
+    if constrained:
+        from .constrain import advance, build_tables, init_state, step_mask
+
+        if charset.size != C:
+            raise ValueError(
+                "constrained decoding: model charset_size "
+                f"{C} != charset size {charset.size}"
+            )
+        con_tb = build_tables(charset)
+        con_state = init_state(B, T)
+
     if cfg.decoder_conditioning == "repeat_z":
         from ..nn.decoder import decode as dec_fn
 
         logits = dec_fn(params["decoder"], cfg, z, None)
+        if constrained:
+            # non-autoregressive logits, sequential constrained selection
+            def pick(carry, inp):
+                cst, t = carry, inp[0]
+                logits_t, key_t = inp[1], inp[2]
+                m = step_mask(con_tb, cst, t, T)
+                lg = jnp.where(m, logits_t, -1e9)
+                if greedy:
+                    code_t = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                else:
+                    code_t = jax.random.categorical(
+                        key_t, lg / temperature
+                    ).astype(jnp.int32)
+                return advance(con_tb, cst, code_t), code_t
+
+            keys = jax.random.split(key, T)
+            _, codes_t = jax.lax.scan(
+                pick,
+                con_state,
+                (jnp.arange(T), jnp.swapaxes(logits, 0, 1), keys),
+            )
+            return jnp.swapaxes(codes_t, 0, 1), logits
         if greedy:
             codes = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         else:
@@ -63,7 +110,7 @@ def generate(
 
     z_emb = latent_embed(dec, cfg, z)
 
-    if cfg.use_pallas_generation:
+    if cfg.use_pallas_generation and not constrained:
         from ..kernels.generate import fused_generate, generation_kernel_supported
 
         if generation_kernel_supported(cfg, B):
@@ -85,6 +132,32 @@ def generate(
         else jnp.zeros((B, C), jnp.float32)
     )
     keys = jax.random.split(key, T)
+
+    if constrained:
+        from .constrain import advance, step_mask
+
+        def step_con(carry, inp):
+            t, key_t = inp
+            hs, prev, cst = carry
+            x_t = jnp.concatenate([z_emb, prev], axis=-1)
+            hs, out = gru_stack_step(dec["gru"], hs, x_t)
+            logits_t = linear(dec["linear_out"], out)  # (B, C)
+            m = step_mask(con_tb, cst, t, T)
+            lg = jnp.where(m, logits_t, -1e9)
+            if greedy:
+                code_t = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            else:
+                code_t = jax.random.categorical(
+                    key_t, lg / temperature
+                ).astype(jnp.int32)
+            cst = advance(con_tb, cst, code_t)
+            onehot_t = jax.nn.one_hot(code_t, C, dtype=jnp.float32)
+            return (hs, onehot_t, cst), (code_t, logits_t)
+
+        (_, _, _), (codes_t, logits_t) = jax.lax.scan(
+            step_con, (h0, prev0, con_state), (jnp.arange(T), keys)
+        )
+        return jnp.swapaxes(codes_t, 0, 1), jnp.swapaxes(logits_t, 0, 1)
 
     def step(carry, key_t):
         hs, prev = carry
@@ -113,11 +186,15 @@ def sample_prior(
     greedy: bool = True,
     temperature: float = 1.0,
     scale: float = 1.0,
+    constrained: bool = False,
 ) -> List[str]:
     """Decode n latents from the prior z ~ N(0, scale^2 I) to SMILES strings."""
     k_z, k_gen = jax.random.split(key)
     z = scale * jax.random.normal(k_z, (n, cfg.latent_dim), jnp.float32)
-    codes, _ = generate(params, cfg, z, k_gen, greedy=greedy, temperature=temperature)
+    codes, _ = generate(
+        params, cfg, z, k_gen, greedy=greedy, temperature=temperature,
+        constrained=constrained, charset=charset,
+    )
     return decode_codes(codes, charset)
 
 
@@ -172,13 +249,17 @@ def sample_aggregate(
     charset: Charset = DEFAULT_CHARSET,
     greedy: bool = True,
     temperature: float = 1.0,
+    constrained: bool = False,
 ) -> List[str]:
     """Decode n latents from the fitted aggregate posterior N(mean, chol@cholT)
     (see fit_aggregate_posterior) to SMILES strings."""
     k_z, k_gen = jax.random.split(key)
     eps = jax.random.normal(k_z, (n, cfg.latent_dim), jnp.float32)
     z = mean[None, :] + eps @ chol.T
-    codes, _ = generate(params, cfg, z, k_gen, greedy=greedy, temperature=temperature)
+    codes, _ = generate(
+        params, cfg, z, k_gen, greedy=greedy, temperature=temperature,
+        constrained=constrained, charset=charset,
+    )
     return decode_codes(codes, charset)
 
 

@@ -19,7 +19,7 @@ import numpy as np
 from ..config import Config
 from ..data.charset import Charset, DEFAULT_CHARSET
 from ..data.featurize import decode_codes, is_valid_smiles
-from ..data.smiles_check import chem_valid_fraction
+from ..data.smiles_check import chem_valid, chem_valid_fraction
 from ..data.native import decode_codes_native
 from ..data.zinc import Dataset
 from ..latent.sample import generate
@@ -95,6 +95,51 @@ def generation_metrics(
         "gen_unique": uniq,
         "gen_novelty": novelty,
         "gen_mean_len": float(np.mean([len(s) for s in smiles])),
+    }
+
+
+def constrained_generation_metrics(
+    params,
+    cfg: Config,
+    key: Array,
+    n: int = 256,
+    train_dataset: Optional[Dataset] = None,
+    charset: Optional[Charset] = None,
+    temperature: float = 1.0,
+) -> Dict[str, float]:
+    """Sample quality from the prior under valence-constrained decoding
+    (`latent/constrain.py`): the automaton masks parser-illegal tokens at
+    each step, so ``con_chem_valid`` is 1.0 by construction — the numbers
+    that matter are uniqueness/novelty/length, i.e. whether the model still
+    produces diverse molecules when confined to the valid-SMILES manifold."""
+    if charset is None:
+        charset = (
+            train_dataset.charset if train_dataset is not None else DEFAULT_CHARSET
+        )
+    k_z, k_g = jax.random.split(key)
+    z = jax.random.normal(k_z, (n, cfg.model.latent_dim), jnp.float32)
+    codes, _ = generate(
+        params, cfg.model, z, k_g, greedy=False, temperature=temperature,
+        constrained=True, charset=charset,
+    )
+    smiles = decode_codes(codes, charset)
+    chem_ok = [s for s in smiles if chem_valid(s)]
+    uniq_valid = set(chem_ok)
+    novelty = 1.0
+    if train_dataset is not None:
+        train_set = set(
+            decode_codes_native(
+                train_dataset.codes[: min(len(train_dataset), 50000)], charset
+            )
+        )
+        novelty = len([s for s in uniq_valid if s not in train_set]) / max(
+            len(uniq_valid), 1
+        )
+    return {
+        "con_chem_valid": len(chem_ok) / max(len(smiles), 1),
+        "con_unique": len(uniq_valid) / max(len(chem_ok), 1),
+        "con_novelty": novelty,
+        "con_mean_len": float(np.mean([len(s) for s in smiles])),
     }
 
 
@@ -368,6 +413,7 @@ def evaluate(
     interpolation: bool = True,
     aggregate_posterior: bool = True,
     train_dataset: Optional[Dataset] = None,
+    constrained: bool = True,
 ) -> Dict[str, float]:
     """Full report: teacher-forced + generation + reconstruction +
     interpolation-path + posterior/prior-mismatch (+ aggregate-posterior
@@ -392,12 +438,18 @@ def evaluate(
 
         cfg = effective_config(cfg, train_dataset or dataset)
     key = key if key is not None else jax.random.key(0)
-    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
     ref = train_dataset if train_dataset is not None else dataset
     metrics = teacher_forced_metrics(state, cfg, dataset)
     metrics.update(
         generation_metrics(state.params, cfg, k1, n=n_prior, train_dataset=ref)
     )
+    if constrained:
+        metrics.update(
+            constrained_generation_metrics(
+                state.params, cfg, k7, n=min(n_prior, 256), train_dataset=ref
+            )
+        )
     metrics.update(reconstruction_metrics(state.params, cfg, dataset, k2))
     metrics.update(posterior_prior_metrics(state.params, cfg, dataset))
     if interpolation:
