@@ -88,6 +88,10 @@ def run_one(
             "gen_valid",
             "gen_chem_valid",
             "agg_chem_valid",
+            "con_chem_valid",
+            "con_unique",
+            "con_novelty",
+            "con_mean_len",
             "gen_unique",
             "gen_novelty",
             "agg_valid",
