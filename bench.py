@@ -156,9 +156,31 @@ def measure_generation(cfg, charset_size: int, batch: int = 256, steps: int = 96
         fused_cfg = dataclasses.replace(mcfg, use_pallas_generation=True)
         if generation_kernel_supported(fused_cfg, batch):
             fused_rate, _ = timed(fused_cfg)
+
+    # valence-constrained decode: same scan path + the validity automaton
+    # (latent/constrain.py); the delta vs gen_smiles_per_sec is the
+    # automaton's whole cost
+    from molvax.data.charset import DEFAULT_CHARSET
+
+    con_fn = lambda: generate(  # noqa: E731
+        params,
+        dataclasses.replace(mcfg, use_pallas_generation=False),
+        z, key, greedy=True, constrained=True, charset=DEFAULT_CHARSET,
+    )[0]
+    int(np.asarray(con_fn())[0, 0])
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out_c = con_fn()
+        int(np.asarray(out_c)[0, 0])
+        times.append((time.perf_counter() - t0) / steps)
+    con_rate = batch / float(np.median(times[1:]))
+
     out = {
         "gen_smiles_per_sec": round(scan_rate, 1),
         "gen_spread": round(spread, 3),
+        "gen_constrained_smiles_per_sec": round(con_rate, 1),
     }
     if fused_rate is not None:
         out["gen_fused_smiles_per_sec"] = round(fused_rate, 1)

@@ -262,6 +262,7 @@ def cmd_optimize(args) -> int:
         steps=args.steps,
         lr=args.lr,
         charset=charset,
+        constrained=args.constrained,
     )
     import numpy as np
 
@@ -409,6 +410,12 @@ def main(argv=None) -> int:
     sp.add_argument("--steps", type=int, default=100)
     sp.add_argument("--lr", type=float, default=0.05)
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument(
+        "--constrained",
+        action="store_true",
+        help="decode the optimized latent under the valence automaton so "
+        "the output molecule is chemically valid by construction",
+    )
     sp.add_argument("smiles", nargs="+")
     sp.set_defaults(fn=cmd_optimize)
 

@@ -97,8 +97,14 @@ def optimize_from_smiles(
     steps: int = 100,
     lr: float = 0.05,
     charset=None,
+    constrained: bool = False,
 ) -> Tuple[list, OptimizeResult]:
-    """Encode seeds -> optimize -> decode. Returns (smiles_out, result)."""
+    """Encode seeds -> optimize -> decode. Returns (smiles_out, result).
+
+    ``constrained=True`` decodes the optimized latent under the valence
+    automaton (`latent/constrain.py`), so the returned strings are
+    chemically valid by construction — the full ChemVAE optimization loop
+    with a guaranteed-parseable output molecule."""
     from ..data.charset import DEFAULT_CHARSET
     from ..data.featurize import decode_codes, encode_smiles
     from ..nn.vae import encode as vae_encode
@@ -108,5 +114,8 @@ def optimize_from_smiles(
     codes = jnp.asarray(encode_smiles(smiles, charset, cfg.max_len))
     mu, _ = vae_encode(params, cfg, codes)
     result = optimize_z(params, cfg, mu, objective=objective, steps=steps, lr=lr)
-    out_codes, _ = generate(params, cfg, result.z, key, greedy=True)
+    out_codes, _ = generate(
+        params, cfg, result.z, key, greedy=True,
+        constrained=constrained, charset=charset,
+    )
     return decode_codes(out_codes, charset), result

@@ -112,14 +112,17 @@ def conv1d(p: Params, x_nch: Array, compute_dtype=jnp.float32) -> Array:
     W = x_nch.shape[-1]
     Wout = W - K + 1
     x = x_nch.astype(compute_dtype)
-    # patches[b, (k, i), t] = x[b, i, t + k]
+    # patches[b, t, (k, i)] = x[b, i, t + k]; contraction kept on the minor
+    # dim with untransposed output so the dot lowers to a plain GEMM on
+    # every backend (XLA:CPU's DotThunk rejects bf16 dots in the transposed
+    # "bpt,po->bot" form; the surrounding relayouts fuse for free)
     patches = jnp.stack([x[:, :, k : k + Wout] for k in range(K)], axis=1)
-    patches = patches.reshape(x.shape[0], K * I, Wout)
+    patches = patches.transpose(0, 3, 1, 2).reshape(x.shape[0], Wout, K * I)
     wmat = p["w"].astype(compute_dtype).transpose(2, 1, 0).reshape(K * I, O)
     y = jnp.einsum(
-        "bpt,po->bot", patches, wmat, preferred_element_type=jnp.float32
+        "btp,po->bto", patches, wmat, preferred_element_type=jnp.float32
     )
-    return y.astype(jnp.float32) + p["b"][None, :, None]
+    return jnp.swapaxes(y, 1, 2).astype(jnp.float32) + p["b"][None, :, None]
 
 
 def encode(

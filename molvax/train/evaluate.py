@@ -329,6 +329,7 @@ def optimization_metrics(
     lr: float = 0.05,
     property_index: int = 0,
     charset: Optional[Charset] = None,
+    constrained: bool = False,
 ) -> Dict[str, float]:
     """The ChemVAE headline loop, closed offline (SURVEY.md 2.10/2.11,
     BASELINE.json:11): encode molecules -> gradient-ascend the property
@@ -342,7 +343,12 @@ def optimization_metrics(
                        over pairs where both decodes parse chemically
     * opt_chem_valid — fraction of optimized decodes that parse chemically
     * opt_pairs      — number of scored pairs behind opt_real_lift
-    """
+
+    ``constrained=True`` decodes both the seed and the optimized latent
+    under the valence automaton (`latent/constrain.py`) — chem_valid
+    becomes 1.0 by construction and every pair scores, so opt_real_lift is
+    measured over the full batch instead of the subset that happened to
+    parse. Keys gain the prefix ``opt_con_``."""
     from ..data.properties import properties_of
     from ..latent.optimize import default_objective, optimize_z
 
@@ -354,8 +360,14 @@ def optimization_metrics(
         params, cfg.model, mu, objective=objective, steps=steps, lr=lr
     )
     k1, k2 = jax.random.split(key)
-    seed_codes, _ = generate(params, cfg.model, mu, k1, greedy=True)
-    opt_codes, _ = generate(params, cfg.model, result.z, k2, greedy=True)
+    seed_codes, _ = generate(
+        params, cfg.model, mu, k1, greedy=True,
+        constrained=constrained, charset=charset,
+    )
+    opt_codes, _ = generate(
+        params, cfg.model, result.z, k2, greedy=True,
+        constrained=constrained, charset=charset,
+    )
     seed_smiles = decode_codes(seed_codes, charset)
     opt_smiles = decode_codes(opt_codes, charset)
     lifts = []
@@ -367,13 +379,14 @@ def optimization_metrics(
         p0 = properties_of(s0)
         if p0 is not None and p1 is not None:
             lifts.append(p1[property_index] - p0[property_index])
+    pre = "opt_con_" if constrained else "opt_"
     return {
-        "opt_pred_lift": float(
+        pre + "pred_lift": float(
             jnp.mean(result.objective - result.objective_start)
         ),
-        "opt_real_lift": float(np.mean(lifts)) if lifts else 0.0,
-        "opt_chem_valid": chem_ok / max(len(opt_smiles), 1),
-        "opt_pairs": float(len(lifts)),
+        pre + "real_lift": float(np.mean(lifts)) if lifts else 0.0,
+        pre + "chem_valid": chem_ok / max(len(opt_smiles), 1),
+        pre + "pairs": float(len(lifts)),
     }
 
 
@@ -470,6 +483,12 @@ def evaluate(
         metrics.update(
             optimization_metrics(state.params, cfg, dataset, k6)
         )
+        if constrained:
+            metrics.update(
+                optimization_metrics(
+                    state.params, cfg, dataset, k6, constrained=True
+                )
+            )
     if sweep_temperatures:
         metrics.update(
             temperature_sweep(state.params, cfg, k3, train_dataset=ref)

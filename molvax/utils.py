@@ -51,8 +51,16 @@ def enable_persistent_cache(path: str = "/tmp/molvax_jax_cache") -> bool:
     the remote PJRT tunnel and were being re-paid by every fresh process
     (bench, validation, CLI). The persistent cache keys on HLO + compile
     options, so repeat invocations skip straight to execution. Returns
-    False when the backend/plugin rejects the cache (never fatal)."""
+    False when the backend/plugin rejects the cache (never fatal).
+
+    CPU is deliberately excluded: XLA:CPU cache entries embed AOT machine
+    code keyed on the *compiling* host's CPU features, so a cache written
+    on one host poisons replay on another (observed as 'Unsupported element
+    type for DotThunk' / SIGILL-risk warnings when /tmp survives a machine
+    change). CPU compiles are fast; the cache only pays on TPU."""
     try:
+        if jax.default_backend() == "cpu":
+            return False
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -143,6 +143,17 @@ def test_optimization_metrics():
     # the optimizer ascends the head's prediction, so the head must claim
     # a non-negative gain even untrained
     assert m["opt_pred_lift"] >= 0.0
+    # constrained variant: every decode parses, so every pair scores
+    mc = optimization_metrics(
+        state.params, cfg, ds, jax.random.key(2), n=8, steps=5,
+        constrained=True, charset=ds.charset,
+    )
+    assert set(mc) == {
+        "opt_con_pred_lift", "opt_con_real_lift", "opt_con_chem_valid",
+        "opt_con_pairs",
+    }
+    assert mc["opt_con_chem_valid"] == 1.0
+    assert mc["opt_con_pairs"] == 8.0
 
 
 @pytest.mark.slow
