@@ -167,7 +167,7 @@ def cmd_interpolate(args) -> int:
     cfg, state, charset = _restore(cfg, args.ckpt, args)
     for s in interpolate(
         state.params, cfg.model, args.start, args.end, steps=args.n,
-        charset=charset,
+        charset=charset, constrained=args.constrained,
     ):
         print(s)
     return 0
@@ -180,10 +180,18 @@ def cmd_reconstruct(args) -> int:
 
     cfg = _load_cfg(args)
     cfg, state, charset = _restore(cfg, args.ckpt, args)
-    out = reconstruct(
-        state.params, cfg.model, args.smiles, jax.random.key(args.seed),
-        charset=charset,
-    )
+    if args.beam > 1:
+        from .latent import beam_reconstruct
+
+        out = beam_reconstruct(
+            state.params, cfg.model, args.smiles, beam=args.beam,
+            charset=charset, constrained=args.constrained,
+        )
+    else:
+        out = reconstruct(
+            state.params, cfg.model, args.smiles, jax.random.key(args.seed),
+            charset=charset,
+        )
     for inp, rec in zip(args.smiles, out):
         print(f"{inp}\t{rec}")
     return 0
@@ -217,6 +225,7 @@ def cmd_evaluate(args) -> int:
         n_prior=args.n_prior,
         sweep_temperatures=getattr(args, "sweep", False),
         train_dataset=train_ds,
+        beam=args.beam,
     )
     print(json.dumps({k: round(v, 5) for k, v in report.items()}, sort_keys=True))
     return 0
@@ -371,12 +380,31 @@ def main(argv=None) -> int:
     sp.add_argument("start")
     sp.add_argument("end")
     sp.add_argument("-n", type=int, default=10)
+    sp.add_argument(
+        "--constrained",
+        action="store_true",
+        help="decode waypoints under the valence automaton so every point "
+        "on the path is a chemically valid molecule",
+    )
     sp.set_defaults(fn=cmd_interpolate)
 
     sp = sub.add_parser("reconstruct", help="encode->decode round trip")
     common(sp)
     sp.add_argument("--ckpt", required=True)
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument(
+        "--beam",
+        type=int,
+        default=1,
+        help="beam width >1 decodes with beam search (approximate-MAP "
+        "string instead of greedy)",
+    )
+    sp.add_argument(
+        "--constrained",
+        action="store_true",
+        help="with --beam: search only over chemically valid continuations "
+        "(valence automaton)",
+    )
     sp.add_argument("smiles", nargs="+")
     sp.set_defaults(fn=cmd_reconstruct)
 
@@ -386,6 +414,12 @@ def main(argv=None) -> int:
     common(sp)
     sp.add_argument("--ckpt", required=True)
     sp.add_argument("--n-prior", type=int, default=1000)
+    sp.add_argument(
+        "--beam",
+        type=int,
+        default=0,
+        help="also report beam-search round-trip metrics at this width",
+    )
     sp.add_argument(
         "--holdout",
         action="store_true",

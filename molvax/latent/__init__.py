@@ -1,3 +1,4 @@
+from .beam import beam_generate, beam_reconstruct
 from .interpolate import interpolate, lerp, slerp
 from .optimize import OptimizeResult, optimize_from_smiles, optimize_z
 from .sample import (
@@ -9,6 +10,8 @@ from .sample import (
 )
 
 __all__ = [
+    "beam_generate",
+    "beam_reconstruct",
     "interpolate",
     "lerp",
     "slerp",

@@ -199,10 +199,11 @@ def init_state(batch: int, max_atoms: int) -> ConState:
 
 
 def _gather_val(val: Array, idx: Array) -> Array:
-    """val[i, idx[i]] with idx == -1 -> 0."""
-    safe = jnp.clip(idx, 0, val.shape[1] - 1)
-    v = jnp.take_along_axis(val, safe[:, None], axis=1)[:, 0]
-    return jnp.where(idx >= 0, v, 0)
+    """val[i, idx[i]] with idx == -1 -> 0. One-hot masked reduction rather
+    than a gather: TPU gathers on tiny tensors serialize on the scalar
+    unit, while the (B, A) compare+select+sum vectorizes on the VPU."""
+    oh = jnp.arange(val.shape[1])[None, :] == idx[:, None]
+    return jnp.sum(jnp.where(oh, val, 0), axis=1)
 
 
 def _anc_spare_max(
@@ -225,8 +226,8 @@ def _anc_spare_max(
     depth = jnp.arange(DMAX)[None, :]
     limit = (sp - 1 if drop_top else sp)[:, None]
     live = depth < limit
-    safe = jnp.clip(stack, 0, val.shape[1] - 1)
-    vals = jnp.take_along_axis(val, safe, axis=1)
+    oh = stack[:, :, None] == jnp.arange(val.shape[1])[None, None, :]
+    vals = jnp.sum(jnp.where(oh, val[:, None, :], 0), axis=2)
     if adj_idx is not None:
         vals = vals - jnp.where(stack == adj_idx[:, None], adj[:, None], 0)
     if adj_idx2 is not None:
@@ -245,14 +246,36 @@ def _dup_wrt(st: ConState, a: Array) -> Array:
     return jnp.any(hit, axis=2)
 
 
-def _credit(cs: Array, ndir: Array, v: Array, r: Array, partial_only=False):
-    """Closures achievable from budget ``v`` given sorted cumulative ring
-    costs ``cs`` (..., NRING). Reserves 1 budget unit for the enabling
+def _hist(mask: Array, res: Array) -> Array:
+    """(..., NRING) eligibility mask + per-slot costs res in {1..4} ->
+    (..., 4) count-per-cost histogram. Bond orders are bounded by 4
+    ('$'), so greedy cheapest-first credit needs no sort."""
+    return jnp.stack(
+        [jnp.sum(mask & (res == c), axis=-1) for c in (1, 2, 3, 4)], axis=-1
+    )
+
+
+def _take(h: Array, w: Array) -> Array:
+    """Greedy max #closures affordable within budget ``w`` given cost
+    histogram ``h`` (..., 4): take all cost-1 closures first, then cost-2,
+    ... — exactly the sorted-cumulative-cost prefix the old implementation
+    computed with jnp.sort + cumsum (replaced: 5 sorts per decode step were
+    the constrained path's wall on TPU)."""
+    m = jnp.zeros_like(w)
+    for i, c in enumerate((1, 2, 3, 4)):
+        t = jnp.clip(w // c, 0, h[..., i])
+        m = m + t
+        w = w - t * c
+    return m
+
+
+def _credit(h: Array, ndir: Array, v: Array, r: Array, partial_only=False):
+    """Closures achievable from budget ``v`` given the eligible-ring cost
+    histogram ``h`` (..., 4). Reserves 1 budget unit for the enabling
     atom unless every open ring closes directly."""
-    k1 = jnp.sum(cs <= (v[..., None] - 1), axis=-1)
-    k = jnp.minimum(k1, ndir)
+    k = jnp.minimum(_take(h, v - 1), ndir)
     if not partial_only:
-        kfull = jnp.sum(cs <= v[..., None], axis=-1)
+        kfull = _take(h, v)
         full_ok = (ndir >= r) & (kfull >= r)
         k = jnp.where(full_ok, r, k)
     return jnp.minimum(k, r)
@@ -281,15 +304,11 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
     first_p = ~jnp.any(same_p & lower, axis=2)  # (B, NRING)
     direct_prev = open_d & (st.rpart != st.prev[:, None]) & ~dup_prev
     cred_prev = direct_prev & first_p  # credit view only; NOT legality
-    os_prev = jnp.where(cred_prev, res, BIG)
-    cs_prev = jnp.cumsum(jnp.sort(os_prev, axis=1), axis=1)
-    cs_prev = jnp.where(cs_prev >= BIG, BIG, cs_prev)
+    h_prev = _hist(cred_prev, res)
     ndir_prev = jnp.sum(cred_prev, axis=1)
     # from a NEW atom every partner-distinct open ring is direct (fresh
     # index: never a partner, never in a closed pair)
-    os_new = jnp.where(open_d & first_p, res, BIG)
-    cs_new = jnp.cumsum(jnp.sort(os_new, axis=1), axis=1)
-    cs_new = jnp.where(cs_new >= BIG, BIG, cs_new)
+    h_new = _hist(open_d & first_p, res)
     ndir_new = jnp.sum(open_d & first_p, axis=1)
 
     def need_ok(k, sp=None, rr=None, extra=0):
@@ -303,7 +322,7 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
         st.val, st.stack, st.sp, adj_idx=st.prev, adj=o_att
     )
     t_ok = ~((r[:, None] > 0) & (v_new == 0) & (anc_att[:, None] == 0))
-    k_atom = _credit(cs_new[:, None, :], ndir_new[:, None], v_new, r[:, None])
+    k_atom = _credit(h_new[:, None, :], ndir_new[:, None], v_new, r[:, None])
     ok_atom = (
         tb.is_atom[None, :] & outside[:, None]
         & (~prev_ok | (vprev >= o_att))[:, None]
@@ -314,7 +333,7 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
     # --- 'l'/'r' halogen continuations (outside brackets) ----------------
     v_hal = 1 - st.horder
     t_hal = ~((r > 0) & (v_hal == 0) & (anc == 0))
-    k_hal = _credit(cs_prev, ndir_prev, v_hal, r)
+    k_hal = _credit(h_prev, ndir_prev, v_hal, r)
     ok_hal_row = outside & (v_hal >= 0) & t_hal & need_ok(k_hal)
     ok_l = tb.is_l[None, :] & (ok_hal_row & (st.hfix == 1))[:, None]
     ok_r = tb.is_r[None, :] & (ok_hal_row & (st.hfix == 2))[:, None]
@@ -334,7 +353,7 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
     # --- ring digits ------------------------------------------------------
     can_open = (st.rpart == -1) & ~st.rdone  # (B, NRING)
     v_po = (vprev - o_att)[:, None]
-    k_po = _credit(cs_prev[:, None, :], ndir_prev[:, None],
+    k_po = _credit(h_prev[:, None, :], ndir_prev[:, None],
                    jnp.broadcast_to(v_po, (B, NRING)), r[:, None],
                    partial_only=True)
     ok_open_slot = (
@@ -351,27 +370,41 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
                       jnp.maximum(hint, 1))
     mismatch = (st.pend[:, None] > 0) & (hint > 0) & (st.pend[:, None] != hint)
     sur = o_fin - jnp.maximum(st.rres, 1)
-    vpart = jax.vmap(_gather_val, in_axes=(None, 1), out_axes=1)(
-        st.val, st.rpart
-    )  # (B, NRING)
+    oh_part = st.rpart[:, :, None] == jnp.arange(st.val.shape[1])[None, None, :]
+    vpart = jnp.sum(
+        jnp.where(oh_part, st.val[:, None, :], 0), axis=2
+    )  # (B, NRING): val at each slot's partner atom (0 when closed)
     eligible = direct_prev  # open, partner != prev, no duplicate pair
     v_pc = vprev[:, None] - o_fin  # (B, NRING)
-    anc_pc = jax.vmap(
-        lambda of, pt, su: _anc_spare_max(
-            st.val, st.stack, st.sp,
-            adj_idx=st.prev, adj=of, adj_idx2=pt, adj2=su,
-        ),
-        in_axes=(1, 1, 1), out_axes=1,
-    )(o_fin, st.rpart, sur)  # (B, NRING)
+    # ancestor spare after closing each digit j: shared stack-value lookup,
+    # per-digit adjustments applied in one broadcast (was a vmap of
+    # _anc_spare_max — NRING redundant stack gathers per step)
+    stk_oh = st.stack[:, :, None] == jnp.arange(st.val.shape[1])[None, None, :]
+    stk_vals = jnp.sum(
+        jnp.where(stk_oh, st.val[:, None, :], 0), axis=2
+    )  # (B, DMAX)
+    live_anc = (jnp.arange(DMAX)[None, :] < st.sp[:, None]) & (st.stack >= 0)
+    vals_j = (
+        stk_vals[:, None, :]
+        - jnp.where(
+            st.stack[:, None, :] == st.prev[:, None, None],
+            o_fin[:, :, None], 0,
+        )
+        - jnp.where(
+            st.stack[:, None, :] == st.rpart[:, :, None],
+            sur[:, :, None], 0,
+        )
+    )  # (B, NRING, DMAX)
+    anc_pc = jnp.max(
+        jnp.where(live_anc[:, None, :], vals_j, 0), axis=2
+    )  # (B, NRING)
     t_pc = ~(((r - 1)[:, None] > 0) & (v_pc == 0) & (anc_pc == 0))
     # per-digit exclusion: drop slot j and same-partner slots from credit
     same_part = st.rpart[:, :, None] == st.rpart[:, None, :]  # (B, j, m)
     direct_mat = direct_prev[:, None, :] & ~same_part & first_p[:, None, :]
-    os_mat = jnp.where(direct_mat, res[:, None, :], BIG)
-    cs_mat = jnp.cumsum(jnp.sort(os_mat, axis=2), axis=2)
-    cs_mat = jnp.where(cs_mat >= BIG, BIG, cs_mat)
+    h_mat = _hist(direct_mat, res[:, None, :])
     ndir_mat = jnp.sum(direct_mat, axis=2)
-    k_pc = _credit(cs_mat, ndir_mat, v_pc, (r - 1)[:, None])
+    k_pc = _credit(h_mat, ndir_mat, v_pc, (r - 1)[:, None])
     ok_close_slot = (
         outside[:, None] & prev_ok[:, None] & eligible & ~mismatch
         & (vprev[:, None] >= o_fin) & (vpart >= sur) & t_pc
@@ -381,13 +414,13 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
     )
     slot_ok = ok_open_slot | ok_close_slot  # (B, NRING)
     dig = tb.digit_val  # (C,) values 0..9
-    ok_digit = (dig[None, :] > 0) & jnp.take_along_axis(
-        jnp.pad(slot_ok, ((0, 0), (0, 1))),  # value 0 -> always-False slot
-        jnp.where(dig > 0, dig, NRING)[None, :].repeat(B, 0), axis=1
-    )
+    # token -> slot selection as a static (NRING, C) one-hot contraction
+    # (dig > 0 excludes non-digit tokens; slot 0 is never a digit's slot)
+    dig_sel = (jnp.arange(NRING)[:, None] == dig[None, :]) & (dig[None, :] > 0)
+    ok_digit = jnp.any(slot_ok[:, :, None] & dig_sel[None, :, :], axis=1)
 
     # --- '(' / ')' / '.' --------------------------------------------------
-    k_cur = _credit(cs_prev, ndir_prev, vprev, r)
+    k_cur = _credit(h_prev, ndir_prev, vprev, r)
     ok_open_br = (
         outside & prev_ok & (st.pend == 0) & (st.sp < DMAX) & (vprev >= 1)
         & need_ok(k_cur, sp=st.sp + 1, extra=1)
@@ -400,10 +433,7 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
     anc2 = _anc_spare_max(st.val, st.stack, st.sp, drop_top=True)
     dup_pop = _dup_wrt(st, popped)
     direct_pop = open_d & (st.rpart != popped[:, None]) & ~dup_pop & first_p
-    os_pop = jnp.where(direct_pop, res, BIG)
-    cs_pop = jnp.cumsum(jnp.sort(os_pop, axis=1), axis=1)
-    cs_pop = jnp.where(cs_pop >= BIG, BIG, cs_pop)
-    k_pop = _credit(cs_pop, jnp.sum(direct_pop, axis=1), vpop, r)
+    k_pop = _credit(_hist(direct_pop, res), jnp.sum(direct_pop, axis=1), vpop, r)
     ok_close_br = (
         outside & (st.sp > 0) & (st.pend == 0) & ~st.fresh
         & ~((r > 0) & (vpop == 0) & (anc2 == 0))
@@ -430,7 +460,7 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
     # the branch/ring closures pending outside the bracket (the credit is
     # computed from the future bracket atom's remaining budget)
     v_brk = bud_eff - o_att  # (B,)
-    k_brk = _credit(cs_new, ndir_new, v_brk, r)
+    k_brk = _credit(h_new, ndir_new, v_brk, r)
     fit_rbr = need_ok(k_brk)  # ']' now
     fit_deco = need_ok(k_brk, extra=1)  # one decoration token + ']'
     ok_sym = (
@@ -440,7 +470,7 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
     )
     # budget-reducing decorations gate on their POST-decoration credit so
     # ']' stays feasible at the next step
-    k_lr = _credit(cs_new, ndir_new, 1 - o_att, r)
+    k_lr = _credit(h_new, ndir_new, 1 - o_att, r)
     fit_lr = need_ok(k_lr, extra=1)
     ok_bl = tb.is_l[None, :] & (
         inb & (st.b == 2) & st.bsymc & (1 >= o_req) & fit_lr
@@ -451,7 +481,7 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
     ok_at = tb.is_at[None, :] & (
         inb & ((st.b == 2) | (st.b == 3)) & fit_deco
     )[:, None]
-    k_h = _credit(cs_new, ndir_new, bud_eff - 1 - o_att, r)
+    k_h = _credit(h_new, ndir_new, bud_eff - 1 - o_att, r)
     ok_bh = tb.is_h[None, :] & (
         inb & (st.b >= 2) & (st.b <= 4) & (bud_eff - 1 >= o_req)
         & need_ok(k_h, extra=1)
@@ -465,7 +495,7 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
         (sign_new | (sign_more & (st.bsign < 0))) & fit_deco
     )[:, None]
     v_hd = st.bbud[:, None] + st.bchg[:, None] - dig[None, :] - o_att[:, None]
-    k_hd = _credit(cs_new[:, None, :], ndir_new[:, None], v_hd, r[:, None])
+    k_hd = _credit(h_new[:, None, :], ndir_new[:, None], v_hd, r[:, None])
     ok_bdig_h = (dig[None, :] > 0) & (
         inb & (st.b == 5)
     )[:, None] & (v_hd >= extra_v[:, None]) & need_ok(
@@ -533,7 +563,8 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     do_hal = outside & (tb.is_l[tok] | tb.is_r[tok]) & (st.hfix > 0)
     # the fixup atom is prev (the fresh C/B): budget becomes 1 - horder
     oh_prev2 = (jnp.arange(A)[None, :] == prev[:, None])
-    cur_pv = jnp.take_along_axis(val, jnp.clip(prev, 0, A - 1)[:, None], 1)[:, 0]
+    oh_cur = jnp.arange(A)[None, :] == jnp.clip(prev, 0, A - 1)[:, None]
+    cur_pv = jnp.sum(jnp.where(oh_cur, val, 0), axis=1)
     val = val + jnp.where(do_hal, (1 - st.horder) - cur_pv, 0)[:, None] * oh_prev2
 
     # --- bond -------------------------------------------------------------
@@ -544,7 +575,8 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     do_dig = outside & (dig > 0)
     slot = jnp.where(do_dig, dig, 0)  # (B,) slot index (0 inert)
     oh_slot = (jnp.arange(NRING)[None, :] == slot[:, None]) & do_dig[:, None]
-    slot_part = jnp.take_along_axis(st.rpart, slot[:, None], 1)[:, 0]
+    oh_sl = jnp.arange(NRING)[None, :] == slot[:, None]  # exact one-hot
+    slot_part = jnp.sum(jnp.where(oh_sl, st.rpart, 0), axis=1)
     is_close = do_dig & (slot_part >= 0)
     is_openr = do_dig & ~is_close
     # open
@@ -554,8 +586,8 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     rres = jnp.where(oh_slot & is_openr[:, None], res_o[:, None], st.rres)
     val = val - jnp.where(is_openr, res_o, 0)[:, None] * oh_prev
     # close
-    slot_hint = jnp.take_along_axis(st.rhint, slot[:, None], 1)[:, 0]
-    slot_res = jnp.maximum(jnp.take_along_axis(st.rres, slot[:, None], 1)[:, 0], 1)
+    slot_hint = jnp.sum(jnp.where(oh_sl, st.rhint, 0), axis=1)
+    slot_res = jnp.maximum(jnp.sum(jnp.where(oh_sl, st.rres, 0), axis=1), 1)
     o_fin = jnp.where(st.pend > 0, st.pend, jnp.maximum(slot_hint, 1))
     sur = o_fin - slot_res
     val = val - jnp.where(is_close, o_fin, 0)[:, None] * oh_prev
@@ -579,9 +611,11 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     fresh = jnp.where(do_open, True, fresh)
 
     do_close = outside & tb.is_close[tok]
-    top = jnp.take_along_axis(
-        st.stack, jnp.clip(st.sp - 1, 0, DMAX - 1)[:, None], 1
-    )[:, 0]
+    oh_top = (
+        jnp.arange(DMAX)[None, :]
+        == jnp.clip(st.sp - 1, 0, DMAX - 1)[:, None]
+    )
+    top = jnp.sum(jnp.where(oh_top, st.stack, 0), axis=1)
     prev = jnp.where(do_close, top, prev)
     sp = jnp.where(do_close, st.sp - 1, sp)
     fresh = jnp.where(do_close, False, fresh)

@@ -50,8 +50,13 @@ def interpolate(
     key: Optional[Array] = None,
     charset: Charset = DEFAULT_CHARSET,
     spherical: bool = True,
+    constrained: bool = False,
 ) -> List[str]:
-    """Decode `steps` waypoints (inclusive of the endpoints' means)."""
+    """Decode `steps` waypoints (inclusive of the endpoints' means).
+
+    ``constrained=True`` decodes each waypoint under the valence automaton
+    (`latent/constrain.py`), so every point on the path is a chemically
+    valid molecule."""
     codes = jnp.asarray(encode_smiles([smiles_a, smiles_b], charset, cfg.max_len))
     mu, _ = vae_encode(params, cfg, codes)
     t = jnp.linspace(0.0, 1.0, steps)[:, None]  # (steps, 1)
@@ -59,5 +64,8 @@ def interpolate(
     zs = fn(mu[0][None, :], mu[1][None, :], t)  # (steps, L)
     if key is None:
         key = jax.random.key(0)
-    out_codes, _ = generate(params, cfg, zs, key, greedy=True)
+    out_codes, _ = generate(
+        params, cfg, zs, key, greedy=True,
+        constrained=constrained, charset=charset,
+    )
     return decode_codes(out_codes, charset)

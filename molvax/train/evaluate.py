@@ -174,6 +174,36 @@ def reconstruction_metrics(
     }
 
 
+def beam_reconstruction_metrics(
+    params,
+    cfg: Config,
+    dataset: Dataset,
+    n: int = 256,
+    beam: int = 5,
+    charset: Optional[Charset] = None,
+) -> Dict[str, float]:
+    """Round trip with beam-search decoding (latent/beam.py): the
+    approximate-MAP string instead of the greedy one. Reported next to
+    `recon_exact` to show what decode-time search buys on the same model."""
+    from ..latent.beam import beam_generate
+
+    charset = charset or dataset.charset
+    codes = jnp.asarray(dataset.codes[:n])
+    mu, _ = vae.encode(params, cfg.model, codes)
+    out_codes, _ = beam_generate(params, cfg.model, mu, beam=beam)
+    inp = decode_codes(codes, charset)
+    out = decode_codes(out_codes, charset)
+    exact = float(np.mean([a == b for a, b in zip(inp, out)]))
+    hit = np.asarray(out_codes) == np.asarray(codes)
+    nonpad = np.asarray(codes) != 0
+    return {
+        "recon_beam_exact": exact,
+        "recon_beam_char_acc_nonpad": (
+            float(hit[nonpad].mean()) if nonpad.any() else 1.0
+        ),
+    }
+
+
 def interpolation_metrics(
     params,
     cfg: Config,
@@ -427,6 +457,7 @@ def evaluate(
     aggregate_posterior: bool = True,
     train_dataset: Optional[Dataset] = None,
     constrained: bool = True,
+    beam: int = 0,
 ) -> Dict[str, float]:
     """Full report: teacher-forced + generation + reconstruction +
     interpolation-path + posterior/prior-mismatch (+ aggregate-posterior
@@ -464,6 +495,10 @@ def evaluate(
             )
         )
     metrics.update(reconstruction_metrics(state.params, cfg, dataset, k2))
+    if beam > 1:
+        metrics.update(
+            beam_reconstruction_metrics(state.params, cfg, dataset, beam=beam)
+        )
     metrics.update(posterior_prior_metrics(state.params, cfg, dataset))
     if interpolation:
         n_pairs = min(64, len(dataset) // 2)
