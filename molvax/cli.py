@@ -284,6 +284,82 @@ def cmd_optimize(args) -> int:
     return 0
 
 
+def _read_smiles_lines(path: str) -> list:
+    """One SMILES per line; '#' comments and blank lines skipped. CSV/TSV
+    rows use the first field (chemvae .smi/.csv convention, data/zinc.py)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            if "," in line:
+                line = line.split(",", 1)[0].strip()
+            elif "\t" in line:
+                line = line.split("\t", 1)[0].strip()
+            if line and line.lower() != "smiles":
+                out.append(line)
+    return out
+
+
+def cmd_encode(args) -> int:
+    """Corpus -> latent embeddings (the ChemVAE-as-featurizer workflow)."""
+    import numpy as np
+
+    from .latent import encode_corpus
+
+    cfg = _load_cfg(args)
+    cfg, state, charset = _restore(cfg, args.ckpt, args)
+    smiles = list(args.smiles)
+    if args.infile:
+        smiles = _read_smiles_lines(args.infile) + smiles
+    if not smiles:
+        raise SystemExit("no SMILES given (positional args or --in FILE)")
+    mu, logvar = encode_corpus(
+        state.params, cfg.model, smiles, charset=charset, batch=args.batch
+    )
+    if args.out:
+        np.savez(args.out, mu=mu, logvar=logvar,
+                 smiles=np.asarray(smiles, dtype=object))
+        print(f"wrote {args.out}: mu/logvar {mu.shape}", file=sys.stderr)
+    else:
+        for row in mu:
+            print(",".join(f"{v:.6g}" for v in row))
+    return 0
+
+
+def cmd_decode(args) -> int:
+    """Latent vectors -> SMILES (inverse of `molvax encode`)."""
+    import jax
+    import numpy as np
+
+    from .data import valid_fraction
+    from .latent import decode_latents
+
+    cfg = _load_cfg(args)
+    cfg, state, charset = _restore(cfg, args.ckpt, args)
+    z = np.load(args.infile, allow_pickle=True)
+    if hasattr(z, "files"):  # .npz: prefer explicit z, else mu
+        key_name = "z" if "z" in z.files else "mu"
+        z = z[key_name]
+    smiles = decode_latents(
+        state.params,
+        cfg.model,
+        z,
+        jax.random.key(args.seed),
+        charset=charset,
+        batch=args.batch,
+        greedy=not args.stochastic,
+        temperature=args.temperature,
+        constrained=args.constrained,
+        beam=args.beam,
+    )
+    for s in smiles:
+        print(s)
+    print(f"# grammar-valid: {valid_fraction(smiles):.2%}", file=sys.stderr)
+    return 0
+
+
 def cmd_export_data(args) -> int:
     """Export a corpus to the chemvae .h5 layout (data interop with the
     reference tooling)."""
@@ -452,6 +528,41 @@ def main(argv=None) -> int:
     )
     sp.add_argument("smiles", nargs="+")
     sp.set_defaults(fn=cmd_optimize)
+
+    sp = sub.add_parser(
+        "encode", help="embed SMILES as latent vectors (featurizer workflow)"
+    )
+    common(sp)
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--in", dest="infile", default=None,
+                    help=".smi/.csv file, one SMILES per line")
+    sp.add_argument("--out", default=None,
+                    help=".npz output (keys mu, logvar, smiles); "
+                    "default prints mu rows as CSV")
+    sp.add_argument("--batch", type=int, default=256,
+                    help="device batch (fixed shape; last chunk padded)")
+    sp.add_argument("smiles", nargs="*")
+    sp.set_defaults(fn=cmd_encode)
+
+    sp = sub.add_parser(
+        "decode", help="decode latent vectors (.npy/.npz) back to SMILES"
+    )
+    common(sp)
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--in", dest="infile", required=True,
+                    help=".npy (N,L) array or .npz with key z or mu")
+    sp.add_argument("--batch", type=int, default=256)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--stochastic", action="store_true")
+    sp.add_argument("--temperature", type=float, default=1.0)
+    sp.add_argument("--beam", type=int, default=1,
+                    help="beam width >1: approximate-MAP decoding")
+    sp.add_argument(
+        "--constrained",
+        action="store_true",
+        help="valence-constrained decoding (chemically valid by construction)",
+    )
+    sp.set_defaults(fn=cmd_decode)
 
     sp = sub.add_parser(
         "export-data", help="export a corpus to the chemvae .h5 layout"

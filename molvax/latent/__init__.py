@@ -1,4 +1,5 @@
 from .beam import beam_generate, beam_reconstruct
+from .embed import decode_latents, encode_corpus
 from .interpolate import interpolate, lerp, slerp
 from .optimize import OptimizeResult, optimize_from_smiles, optimize_z
 from .sample import (
@@ -12,6 +13,8 @@ from .sample import (
 __all__ = [
     "beam_generate",
     "beam_reconstruct",
+    "decode_latents",
+    "encode_corpus",
     "interpolate",
     "lerp",
     "slerp",
