@@ -44,20 +44,36 @@ def encode_corpus(
     smiles: List[str],
     charset: Charset = DEFAULT_CHARSET,
     batch: int = 256,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Encode SMILES to posterior parameters.
 
     Returns ``(mu, logvar)`` as float32 ndarrays of shape (N, latent_dim).
     ``mu`` is the deterministic embedding downstream models should consume
     (the reparameterized sample adds decoder-facing noise only).
+    ``mesh`` shards each chunk over the mesh's 'data' axis (GSPMD
+    data-parallel encoding; ``batch`` must divide by it).
     """
     from ..nn.vae import encode as vae_encode
 
     codes = np.asarray(encode_smiles(smiles, charset, cfg.max_len))
     codes, n = _pad_rows(codes, batch)
+    if mesh is not None:
+        from ..parallel import batch_sharding, replicate
+
+        if batch % mesh.shape["data"]:
+            raise ValueError(
+                f"batch {batch} not divisible by mesh data axis "
+                f"{mesh.shape['data']}"
+            )
+        params = replicate(mesh, params)
+        sh = batch_sharding(mesh)
+        put = lambda c: jax.device_put(c, sh)
+    else:
+        put = jnp.asarray
     mus, logvars = [], []
     for lo in range(0, codes.shape[0], batch):
-        mu, logvar = vae_encode(params, cfg, jnp.asarray(codes[lo : lo + batch]))
+        mu, logvar = vae_encode(params, cfg, put(codes[lo : lo + batch]))
         mus.append(np.asarray(mu, np.float32))
         logvars.append(np.asarray(logvar, np.float32))
     return (
@@ -77,6 +93,7 @@ def decode_latents(
     temperature: float = 1.0,
     constrained: bool = False,
     beam: int = 1,
+    mesh=None,
 ) -> List[str]:
     """Decode latent vectors (N, latent_dim) to SMILES strings.
 
@@ -84,8 +101,9 @@ def decode_latents(
     (latent/beam.py); otherwise greedy or temperature sampling
     (latent/sample.py), optionally under the valence automaton
     (``constrained=True``: every output chemically valid by construction).
+    ``mesh`` shards each chunk over the mesh's 'data' axis.
     """
-    from .sample import generate
+    from .sample import _shard_for_mesh, generate
 
     z = np.asarray(z, np.float32)
     if z.ndim != 2 or z.shape[1] != cfg.latent_dim:
@@ -97,7 +115,10 @@ def decode_latents(
     z, n = _pad_rows(z, batch)
     out: List[str] = []
     for lo in range(0, z.shape[0], batch):
-        zb = jnp.asarray(z[lo : lo + batch])
+        if mesh is not None:
+            params, zb = _shard_for_mesh(mesh, params, z[lo : lo + batch])
+        else:
+            zb = jnp.asarray(z[lo : lo + batch])
         key, kb = jax.random.split(key)
         if beam > 1:
             from .beam import beam_generate

@@ -177,6 +177,22 @@ def generate(
     return jnp.swapaxes(codes_t, 0, 1), jnp.swapaxes(logits_t, 0, 1)
 
 
+def _shard_for_mesh(mesh, params, z):
+    """Place (params, z) for GSPMD data-parallel decoding: params
+    replicated, the latent batch split along the 'data' axis. The jitted
+    scan then runs SPMD across the mesh with zero per-step collectives
+    (decode has no cross-batch reductions); XLA propagates the sharding
+    through the whole program. Requires B % data_axis == 0."""
+    from ..parallel import batch_sharding, replicate
+
+    ndata = mesh.shape["data"]
+    if z.shape[0] % ndata:
+        raise ValueError(
+            f"batch {z.shape[0]} not divisible by mesh data axis {ndata}"
+        )
+    return replicate(mesh, params), jax.device_put(z, batch_sharding(mesh))
+
+
 def sample_prior(
     params,
     cfg: ModelConfig,
@@ -187,10 +203,16 @@ def sample_prior(
     temperature: float = 1.0,
     scale: float = 1.0,
     constrained: bool = False,
+    mesh=None,
 ) -> List[str]:
-    """Decode n latents from the prior z ~ N(0, scale^2 I) to SMILES strings."""
+    """Decode n latents from the prior z ~ N(0, scale^2 I) to SMILES strings.
+
+    ``mesh`` shards the decode data-parallel over the mesh's 'data' axis
+    (n must divide by it); numerics are identical to the 1-device run."""
     k_z, k_gen = jax.random.split(key)
     z = scale * jax.random.normal(k_z, (n, cfg.latent_dim), jnp.float32)
+    if mesh is not None:
+        params, z = _shard_for_mesh(mesh, params, z)
     codes, _ = generate(
         params, cfg, z, k_gen, greedy=greedy, temperature=temperature,
         constrained=constrained, charset=charset,
@@ -250,12 +272,15 @@ def sample_aggregate(
     greedy: bool = True,
     temperature: float = 1.0,
     constrained: bool = False,
+    mesh=None,
 ) -> List[str]:
     """Decode n latents from the fitted aggregate posterior N(mean, chol@cholT)
     (see fit_aggregate_posterior) to SMILES strings."""
     k_z, k_gen = jax.random.split(key)
     eps = jax.random.normal(k_z, (n, cfg.latent_dim), jnp.float32)
     z = mean[None, :] + eps @ chol.T
+    if mesh is not None:
+        params, z = _shard_for_mesh(mesh, params, z)
     codes, _ = generate(
         params, cfg, z, k_gen, greedy=greedy, temperature=temperature,
         constrained=constrained, charset=charset,
