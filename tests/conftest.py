@@ -35,7 +35,7 @@ import pytest  # noqa: E402
 
 def pytest_collection_modifyitems(config, items):
     """Tier the suite: everything not explicitly @pytest.mark.slow gets
-    `quick`, so `pytest -m quick` is the fast iteration lane (~90s on the
+    `quick`, so `pytest -m quick` is the fast iteration lane (~2.5 min on the
     dev box) and the full (unfiltered) run is unchanged (VERDICT r1 weak
     8)."""
     for item in items:

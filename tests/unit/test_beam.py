@@ -32,8 +32,20 @@ def tiny_model(chem=False, steps=30, conditioning="teacher_forced"):
     return cfg, state, ds
 
 
-def test_beam1_equals_greedy():
-    cfg, state, ds = tiny_model()
+# Training the tiny models dominates this file's wall time; the tests only
+# read the trained params, so one model per variant is shared module-wide.
+@pytest.fixture(scope="module")
+def base_model():
+    return tiny_model()
+
+
+@pytest.fixture(scope="module")
+def chem_model():
+    return tiny_model(chem=True, steps=60)
+
+
+def test_beam1_equals_greedy(base_model):
+    cfg, state, ds = base_model
     z = jax.random.normal(jax.random.key(0), (4, cfg.model.latent_dim))
     greedy_codes, _ = generate(state.params, cfg.model, z, greedy=True)
     beam_codes, _ = beam_generate(state.params, cfg.model, z, beam=1)
@@ -42,7 +54,7 @@ def test_beam1_equals_greedy():
     )
 
 
-def test_beam_score_is_self_consistent():
+def test_beam_score_is_self_consistent(base_model):
     """The returned logprob must equal the re-scored logprob of the
     returned sequence under the model's own autoregressive factorization
     (sum of per-step log-softmax at the emitted tokens, frozen after the
@@ -51,7 +63,7 @@ def test_beam_score_is_self_consistent():
     from molvax.nn.encoder import linear
     from molvax.nn.gru import gru_stack_step
 
-    cfg, state, ds = tiny_model()
+    cfg, state, ds = base_model
     mcfg = cfg.model
     z = jax.random.normal(jax.random.key(1), (4, mcfg.latent_dim))
     codes, score = beam_generate(state.params, mcfg, z, beam=4)
@@ -86,11 +98,11 @@ def test_beam_score_is_self_consistent():
     )
 
 
-def test_beam_finds_no_worse_mode_than_greedy():
+def test_beam_finds_no_worse_mode_than_greedy(base_model):
     """Beam-4's best logprob should be >= greedy's sequence logprob for
     the overwhelming majority of latents; assert on the batch mean to
     keep the test robust to the rare pruned-greedy-path case."""
-    cfg, state, ds = tiny_model()
+    cfg, state, ds = base_model
     mcfg = cfg.model
     z = jax.random.normal(jax.random.key(2), (16, mcfg.latent_dim))
     _, s1 = beam_generate(state.params, mcfg, z, beam=1)
@@ -98,8 +110,8 @@ def test_beam_finds_no_worse_mode_than_greedy():
     assert float(jnp.mean(s4 - s1)) >= -1e-4
 
 
-def test_constrained_beam_is_chem_valid():
-    cfg, state, ds = tiny_model(chem=True)
+def test_constrained_beam_is_chem_valid(chem_model):
+    cfg, state, ds = chem_model
     z = jax.random.normal(jax.random.key(3), (6, cfg.model.latent_dim))
     codes, _ = beam_generate(
         state.params, cfg.model, z, beam=3,
@@ -109,8 +121,8 @@ def test_constrained_beam_is_chem_valid():
     assert all(chem_valid(s) for s in smiles), smiles
 
 
-def test_beam_reconstruct_roundtrip_runs():
-    cfg, state, ds = tiny_model(chem=True, steps=60)
+def test_beam_reconstruct_roundtrip_runs(chem_model):
+    cfg, state, ds = chem_model
     out = beam_reconstruct(
         state.params, cfg.model, ["CCO", "CCN"], beam=3, charset=ds.charset
     )

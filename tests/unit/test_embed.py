@@ -25,8 +25,15 @@ def tiny_model(steps=30):
     return cfg, state, ds
 
 
-def test_chunking_matches_single_batch():
-    cfg, state, ds = tiny_model(steps=5)
+# One trained tiny model serves every test here (they only read params);
+# training it per-test dominated the file's wall time.
+@pytest.fixture(scope="module")
+def model():
+    return tiny_model()
+
+
+def test_chunking_matches_single_batch(model):
+    cfg, state, ds = model
     smiles = decode_codes(ds.codes[:11], ds.charset)
     # 11 rows at batch=4 pads the tail; results must equal one big batch
     mu_a, lv_a = encode_corpus(
@@ -40,10 +47,10 @@ def test_chunking_matches_single_batch():
     np.testing.assert_allclose(lv_a, lv_b, rtol=0, atol=1e-5)
 
 
-def test_decode_latents_matches_reconstruct():
+def test_decode_latents_matches_reconstruct(model):
     import jax
 
-    cfg, state, ds = tiny_model()
+    cfg, state, ds = model
     smiles = decode_codes(ds.codes[:6], ds.charset)
     mu, _ = encode_corpus(
         state.params, cfg.model, smiles, charset=ds.charset, batch=8
@@ -57,14 +64,14 @@ def test_decode_latents_matches_reconstruct():
     assert via_embed == via_reconstruct
 
 
-def test_decode_latents_shape_check():
-    cfg, state, _ = tiny_model(steps=1)
+def test_decode_latents_shape_check(model):
+    cfg, state, _ = model
     with pytest.raises(ValueError):
         decode_latents(state.params, cfg.model, np.zeros((3, 5)))
 
 
-def test_decode_latents_beam_runs():
-    cfg, state, ds = tiny_model()
+def test_decode_latents_beam_runs(model):
+    cfg, state, ds = model
     smiles = decode_codes(ds.codes[:3], ds.charset)
     mu, _ = encode_corpus(
         state.params, cfg.model, smiles, charset=ds.charset, batch=4
