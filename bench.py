@@ -134,8 +134,10 @@ def measure_generation(cfg, charset_size: int, batch: int = 256, steps: int = 96
     z = jax.random.normal(jax.random.key(0), (batch, mcfg.latent_dim), jnp.float32)
     key = jax.random.key(1)
 
-    def timed(m):
-        fn = lambda: generate(params, m, z, key, greedy=True)[0]  # noqa: E731
+    def timed(m, **gen_kwargs):
+        fn = lambda: generate(  # noqa: E731
+            params, m, z, key, greedy=True, **gen_kwargs
+        )[0]
         int(np.asarray(fn())[0, 0])  # compile + warm
         times = []
         for _ in range(5):
@@ -162,20 +164,11 @@ def measure_generation(cfg, charset_size: int, batch: int = 256, steps: int = 96
     # automaton's whole cost
     from molvax.data.charset import DEFAULT_CHARSET
 
-    con_fn = lambda: generate(  # noqa: E731
-        params,
+    con_rate, _ = timed(
         dataclasses.replace(mcfg, use_pallas_generation=False),
-        z, key, greedy=True, constrained=True, charset=DEFAULT_CHARSET,
-    )[0]
-    int(np.asarray(con_fn())[0, 0])
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out_c = con_fn()
-        int(np.asarray(out_c)[0, 0])
-        times.append((time.perf_counter() - t0) / steps)
-    con_rate = batch / float(np.median(times[1:]))
+        constrained=True,
+        charset=DEFAULT_CHARSET,
+    )
 
     out = {
         "gen_smiles_per_sec": round(scan_rate, 1),

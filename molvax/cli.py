@@ -293,10 +293,12 @@ def _read_smiles_lines(path: str) -> list:
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
+            # tab first: it is an unambiguous separator (SMILES never
+            # contain tabs), while a comma may appear inside later fields
+            if "\t" in line:
+                line = line.split("\t", 1)[0].strip()
             if "," in line:
                 line = line.split(",", 1)[0].strip()
-            elif "\t" in line:
-                line = line.split("\t", 1)[0].strip()
             if line and line.lower() != "smiles":
                 out.append(line)
     return out

@@ -236,7 +236,7 @@ def synthetic_dataset(
 
 
 def property_targets(
-    smiles: List[str],
+    smiles: Optional[List[str]],
     codes: np.ndarray,
     charset: Charset,
     mode: str = "auto",
@@ -250,9 +250,16 @@ def property_targets(
     surrogates. mode='auto' (default): computed when at least half the
     corpus parses chemically (the chem corpus and real ZINC/MOSES files),
     surrogate otherwise (the grammar-level corpus, where structural
-    descriptors are undefined)."""
+    descriptors are undefined).
+
+    ``smiles=None`` decodes strings from ``codes`` on demand — only the
+    non-surrogate branches pay the O(N·max_len) decode."""
     if mode == "surrogate":
         return surrogate_properties(codes, charset)
+    if smiles is None:
+        from .featurize import decode_codes
+
+        smiles = decode_codes(codes, charset)
     from .properties import computed_properties
 
     props, mask = computed_properties(smiles)
@@ -321,9 +328,7 @@ def load_dataset(
     else:
         ds = load_smiles_file(source, charset, max_len)
     if with_properties and ds.properties is None:
-        from .featurize import decode_codes
-
         ds.properties = property_targets(
-            decode_codes(ds.codes, ds.charset), ds.codes, ds.charset, property_source
+            None, ds.codes, ds.charset, property_source
         )
     return ds

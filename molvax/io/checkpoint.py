@@ -97,6 +97,22 @@ def _graft(template, saved):
         if not isinstance(saved, (list, tuple)) or len(saved) != len(template):
             return template
         return type(template)(_graft(t, s) for t, s in zip(template, saved))
+    # Leaf: grafting is only for *missing* leaves — a present leaf whose
+    # shape disagrees with the template means the checkpoint comes from a
+    # different architecture, and splicing it in would surface later as an
+    # opaque shape error mid-train. Fail loudly here instead.
+    t_shape = getattr(template, "shape", None)
+    s_shape = getattr(saved, "shape", None)
+    if (
+        t_shape is not None
+        and s_shape is not None
+        and tuple(t_shape) != tuple(s_shape)
+    ):
+        raise ValueError(
+            f"checkpoint leaf shape {tuple(s_shape)} does not match the "
+            f"current state template {tuple(t_shape)}: the checkpoint was "
+            "saved from an incompatible model/optimizer config"
+        )
     return saved
 
 

@@ -65,11 +65,15 @@ def beam_generate(
     pad_id = charset.chars.index(" ") if " " in charset.chars else 0
 
     if cfg.decoder_conditioning == "repeat_z":
+        import dataclasses
+
         from .sample import generate
 
+        # force the scan path: this branch consumes logits, which the fused
+        # generation kernel never materializes (generate's contract note)
         codes, logits = generate(
-            params, cfg, z, greedy=True,
-            constrained=constrained, charset=charset,
+            params, dataclasses.replace(cfg, use_pallas_generation=False),
+            z, greedy=True, constrained=constrained, charset=charset,
         )
         logp = jax.nn.log_softmax(logits, axis=-1)
         best = jnp.sum(

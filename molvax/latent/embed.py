@@ -103,7 +103,7 @@ def decode_latents(
     (``constrained=True``: every output chemically valid by construction).
     ``mesh`` shards each chunk over the mesh's 'data' axis.
     """
-    from .sample import _shard_for_mesh, generate
+    from .sample import generate
 
     z = np.asarray(z, np.float32)
     if z.ndim != 2 or z.shape[1] != cfg.latent_dim:
@@ -113,12 +113,23 @@ def decode_latents(
     if key is None:
         key = jax.random.key(0)
     z, n = _pad_rows(z, batch)
+    if mesh is not None:
+        # replicate the params once, not per chunk
+        from ..parallel import batch_sharding, replicate
+
+        if batch % mesh.shape["data"]:
+            raise ValueError(
+                f"batch {batch} not divisible by mesh data axis "
+                f"{mesh.shape['data']}"
+            )
+        params = replicate(mesh, params)
+        z_sh = batch_sharding(mesh)
+        put = lambda c: jax.device_put(c, z_sh)  # noqa: E731
+    else:
+        put = jnp.asarray
     out: List[str] = []
     for lo in range(0, z.shape[0], batch):
-        if mesh is not None:
-            params, zb = _shard_for_mesh(mesh, params, z[lo : lo + batch])
-        else:
-            zb = jnp.asarray(z[lo : lo + batch])
+        zb = put(z[lo : lo + batch])
         key, kb = jax.random.split(key)
         if beam > 1:
             from .beam import beam_generate

@@ -43,11 +43,19 @@ def generate(
     constrained: bool = False,
     charset: Charset = DEFAULT_CHARSET,
 ) -> Tuple[Array, Array]:
-    """z: (B, L) -> (codes (B, T) int32, logits (B, T, C)).
+    """z: (B, L) -> (codes (B, T) int32, logits (B, T, C) or None).
 
     'teacher_forced' models run the autoregressive feedback scan;
     'repeat_z' models decode in one non-autoregressive pass (their decoder
     never sees its own outputs - reference behavior).
+
+    CONTRACT NOTE: when ``cfg.use_pallas_generation`` routes to the fused
+    VMEM-resident kernel (TPU, supported shapes, unconstrained
+    teacher-forced decode), logits are never materialized and the second
+    return value is **None**. Callers that consume logits must force the
+    scan path (``dataclasses.replace(cfg, use_pallas_generation=False)``)
+    or they will pass every CPU test and break only on TPU production
+    presets.
 
     ``constrained=True`` threads the valence automaton of
     `latent/constrain.py` through the decode: at each step, tokens the
@@ -249,9 +257,17 @@ def fit_aggregate_posterior(
     n = min(codes.shape[0], max_n)
     mus, vars_ = [], []
     for lo in range(0, n, batch):
-        mu, logvar = vae_encode(params, cfg, jnp.asarray(codes[lo : lo + batch]))
-        mus.append(np.asarray(mu, np.float64))
-        vars_.append(np.asarray(jnp.exp(logvar), np.float64))
+        # pad the tail chunk up to `batch` (wrapping rows past the cap
+        # would violate max_n; a ragged tail would force a fresh compile)
+        chunk = np.asarray(codes[lo : min(lo + batch, n)])
+        true_len = chunk.shape[0]
+        if true_len < batch:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[:1], batch - true_len, axis=0)], axis=0
+            )
+        mu, logvar = vae_encode(params, cfg, jnp.asarray(chunk))
+        mus.append(np.asarray(mu, np.float64)[:true_len])
+        vars_.append(np.asarray(jnp.exp(logvar), np.float64)[:true_len])
     mu_all = np.concatenate(mus, axis=0)
     var_mean = np.concatenate(vars_, axis=0).mean(axis=0)
     mean = mu_all.mean(axis=0)

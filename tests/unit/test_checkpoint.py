@@ -94,3 +94,22 @@ def test_keep_limit(tmp_path):
     manager.wait_until_finished()
     assert manager.latest_step() == 3
     assert set(manager.all_steps()) == {2, 3}
+
+
+@pytest.mark.slow
+def test_restore_rejects_incompatible_architecture(tmp_path):
+    """A checkpoint from a different architecture must fail loudly at
+    restore time, not splice mismatched arrays into the template and
+    blow up later mid-train (round-3 review finding)."""
+    cfg = tiny_cfg()
+    state = init_state(cfg)
+    manager = ckpt.make_manager(str(tmp_path / "ck"), keep=1)
+    ckpt.save(manager, 1, state)
+    manager.wait_until_finished()
+
+    wider = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, gru_hidden=24)
+    )
+    template = init_state(wider)
+    with pytest.raises(ValueError, match="incompatible"):
+        ckpt.restore_latest(manager, template)

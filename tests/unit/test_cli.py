@@ -103,3 +103,14 @@ def test_bad_override():
 def test_missing_ckpt():
     with pytest.raises(SystemExit):
         main(["sample", "--ckpt", "/tmp/definitely/missing", "-n", "1"])
+
+
+def test_read_smiles_lines_tsv_with_commas(tmp_path):
+    """Tab is the unambiguous field separator: a TSV row whose later
+    fields contain commas must still yield just the first field
+    (round-3 review finding: comma-first splitting kept the tab)."""
+    from molvax.cli import _read_smiles_lines
+
+    p = tmp_path / "in.smi"
+    p.write_text("# hdr\nCCO\tZINC-1,batch2\nCCN,plain_csv\nsmiles\nCCC\n")
+    assert _read_smiles_lines(str(p)) == ["CCO", "CCN", "CCC"]

@@ -104,3 +104,22 @@ def test_optimize_z_improves_objective():
     end = np.asarray(res.objective)
     assert (end >= start - 1e-4).all()
     assert end.mean() > start.mean()
+
+
+def test_fit_aggregate_posterior_honors_max_n():
+    """The fit over a capped corpus must use exactly the first max_n rows
+    (round-3 review finding: the tail chunk read past the cap) and keep
+    every encode call at the same static shape."""
+    from molvax.data import synthetic_dataset
+    from molvax.latent.sample import fit_aggregate_posterior
+
+    ds = synthetic_dataset(25, max_len=CFG.max_len, seed=7)
+    codes = np.asarray(ds.codes)
+    m_cap, c_cap = fit_aggregate_posterior(
+        PARAMS, CFG, codes, batch=8, max_n=20
+    )
+    m_exact, c_exact = fit_aggregate_posterior(
+        PARAMS, CFG, codes[:20], batch=8, max_n=20
+    )
+    np.testing.assert_allclose(np.asarray(m_cap), np.asarray(m_exact), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_cap), np.asarray(c_exact), atol=1e-6)
