@@ -144,8 +144,17 @@ def _attach_aromatic_ring(mol: Molecule, rng: np.random.Generator) -> None:
     carbons: List[int] = []
     for spec in template:
         sym, _, h = spec.partition(":")
-        # each ring atom spends 2 valence units on its ring bonds
-        idx = mol.add_atom(sym, aromatic=True, explicit_h=1 if h else 0, reserve=2)
+        # reserve everything except one substituent slot on plain aromatic
+        # carbons: heteroatoms (pyridine n, furan o, ...) and [nH] take NO
+        # substituents — a 3-connected uncharged 'n' cannot kekulize, and
+        # an earlier free>=1 site filter let exactly that through
+        # (round-3 review finding). Aromatic C keeps free=1, so it can
+        # carry one substituent or anchor a later biaryl link.
+        free_target = 1 if (sym == "C" and not h) else 0
+        idx = mol.add_atom(
+            sym, aromatic=True, explicit_h=1 if h else 0,
+            reserve=_VALENCE[sym] - (1 if h else 0) - free_target,
+        )
         ring.append(idx)
         if sym == "C":
             carbons.append(idx)
@@ -180,13 +189,10 @@ def write_smiles(mol: Molecule, rng: Optional[np.random.Generator] = None,
     next_digit = [1]
     # Pre-pass: find back edges via DFS so digits can be assigned on both ends
     parent = [-1] * n
-    order_visited: List[int] = []
-    back_edges: List[Tuple[int, int]] = []
     stack = [root]
     seen = {root}
     while stack:
         u = stack.pop()
-        order_visited.append(u)
         nbrs = list(mol.adj[u])
         rng.shuffle(nbrs)
         for v in nbrs:
@@ -200,7 +206,6 @@ def write_smiles(mol: Molecule, rng: Optional[np.random.Generator] = None,
                     str(d) if d <= 9 else f"%{d:02d}"
                 )
                 next_digit[0] += 1
-                back_edges.append((u, v))
 
     bond_char = {1: "", 2: "=", 3: "#"}
 

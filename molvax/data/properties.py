@@ -132,7 +132,9 @@ def _ring_bond_flags(n_atoms: int, bonds: Sequence[Tuple[int, int, int]]) -> Lis
     return [not b for b in is_bridge]
 
 
-def atom_environments(g: MolGraph) -> List[AtomEnv]:
+def atom_environments(
+    g: MolGraph, ring_flags: Optional[List[bool]] = None
+) -> List[AtomEnv]:
     n = len(g.atoms)
     nbrs: List[List[int]] = [[] for _ in range(n)]
     orders: List[List[int]] = [[] for _ in range(n)]
@@ -141,7 +143,8 @@ def atom_environments(g: MolGraph) -> List[AtomEnv]:
         orders[a].append(o)
         nbrs[b].append(a)
         orders[b].append(o)
-    ring_flags = _ring_bond_flags(n, g.bonds)
+    if ring_flags is None:
+        ring_flags = _ring_bond_flags(n, g.bonds)
     in_ring = [False] * n
     for bi, (a, b, _o) in enumerate(g.bonds):
         if ring_flags[bi]:
@@ -155,7 +158,9 @@ def atom_environments(g: MolGraph) -> List[AtomEnv]:
     return out
 
 
-def _ring_stats(g: MolGraph) -> Tuple[int, int, int]:
+def _ring_stats(
+    g: MolGraph, ring_flags: Optional[List[bool]] = None
+) -> Tuple[int, int, int]:
     """(n_rings, n_aromatic_rings, max_ring_size).
 
     Ring count is cyclomatic (E - V + components). Aromatic rings are the
@@ -207,7 +212,8 @@ def _ring_stats(g: MolGraph) -> Tuple[int, int, int]:
                     stack.append(v)
     n_arom_rings = max(len(arom_bonds) - len(arom_nodes) + arom_components, 0)
 
-    ring_flags = _ring_bond_flags(n, g.bonds)
+    if ring_flags is None:
+        ring_flags = _ring_bond_flags(n, g.bonds)
     max_size = 0
     for bi, (a, b, _o) in enumerate(g.bonds):
         if not ring_flags[bi]:
@@ -308,10 +314,15 @@ def polar_surface(envs: Sequence[AtomEnv]) -> float:
     return t
 
 
-def rotatable_bonds(g: MolGraph, envs: Sequence[AtomEnv]) -> int:
+def rotatable_bonds(
+    g: MolGraph,
+    envs: Sequence[AtomEnv],
+    ring_flags: Optional[List[bool]] = None,
+) -> int:
     """Single, acyclic bonds between non-terminal heavy atoms, excluding
     amide C-N (the standard RotB definition minus stereo refinements)."""
-    ring_flags = _ring_bond_flags(len(g.atoms), g.bonds)
+    if ring_flags is None:
+        ring_flags = _ring_bond_flags(len(g.atoms), g.bonds)
     degree = [len(a.neighbors) for a in envs]
 
     def is_amide(c: int, n: int) -> bool:
@@ -507,8 +518,12 @@ def sas_score(d: Descriptors) -> float:
 
 
 def descriptors(g: MolGraph) -> Descriptors:
-    envs = atom_environments(g)
-    n_rings, n_arom, max_ring = _ring_stats(g)
+    # the bridge-finding DFS dominates per-molecule graph analysis; compute
+    # it once and thread it through (round-3 review finding: it used to run
+    # three times per molecule)
+    ring_flags = _ring_bond_flags(len(g.atoms), g.bonds)
+    envs = atom_environments(g, ring_flags)
+    n_rings, n_arom, max_ring = _ring_stats(g, ring_flags)
     heavy = len(envs)
     hetero = sum(1 for a in envs if a.symbol not in ("C", "H"))
     logp = crippen_logp(envs)
@@ -519,7 +534,7 @@ def descriptors(g: MolGraph) -> Descriptors:
         hbd=h_bond_donors(envs),
         hba=h_bond_acceptors(envs),
         tpsa=polar_surface(envs),
-        rotatable_bonds=rotatable_bonds(g, envs),
+        rotatable_bonds=rotatable_bonds(g, envs, ring_flags),
         aromatic_rings=n_arom,
         rings=n_rings,
         heavy_atoms=heavy,

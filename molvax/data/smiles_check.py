@@ -10,9 +10,12 @@ a single-pass parser with chemical bookkeeping:
     atoms (b c n o p s), bracket atoms ``[isotope? symbol chiral? Hcount?
     charge? class?]``, bonds ``- = # $ : / \\``, branches, ring-closure
     digits (incl. ``%nn``), dot disconnections;
-  * structure: branches must follow an atom and be non-empty, ring-closure
-    digits must pair up with consistent bond orders, no dangling bond at a
-    branch end or at the end of the string, no self/duplicate ring bonds;
+  * structure: branches must follow an atom, be non-empty, and start with
+    an atom or bond (never '(', a ring digit, or '.'); ring-closure digits
+    must pair up with consistent bond orders (digits are reusable after
+    they close, as in canonical SMILES); no dangling bond at a branch end
+    or at the end of the string; no self-ring bonds and no second bond on
+    an already-bonded pair — chain bonds included, so 'C1C1' is rejected;
   * valence: per-atom sum of explicit bond orders (+ bracket H counts) must
     fit the atom's allowed valence set (B 3; C 4; N 3,5; O 2; P 3,5;
     S 2,4,6; halogens 1), charge-adjusted for bracket atoms ([N+] gets 4,
@@ -143,7 +146,7 @@ def _parse(s: str):
     stack: List[Optional[int]] = []
     pending: Optional[int] = None  # explicit bond order awaiting its atom
     rings = {}  # digit -> (atom_index, order or None)
-    ring_bonds = set()  # canonical (lo, hi) pairs already bonded
+    bonded = set()  # canonical (lo, hi) pairs bonded so far (chain AND ring)
     branch_opened_here = False  # '(' must be followed by an atom/bond
 
     def close_ring(digit: str, order_hint: Optional[int]) -> Optional[str]:
@@ -157,9 +160,12 @@ def _parse(s: str):
             if order_hint is not None and other_hint is not None and order_hint != other_hint:
                 return "ring bond order mismatch"
             pair = (min(other, prev), max(other, prev))
-            if pair in ring_bonds:
-                return "duplicate ring bond"
-            ring_bonds.add(pair)
+            # duplicates against EVERY existing bond, chain bonds included:
+            # 'C1C1' would put a second bond on an already-bonded pair
+            # (round-3 review finding; RDKit/OpenSMILES reject it)
+            if pair in bonded:
+                return "duplicate bond (ring closure on an existing bond)"
+            bonded.add(pair)
             order = order_hint or other_hint or 1
             atoms[other].bond_sum += order
             atoms[prev].bond_sum += order
@@ -177,6 +183,7 @@ def _parse(s: str):
             atoms[prev].bond_sum += order
             atom.bond_sum += order
             bonds.append((prev, idx, order))
+            bonded.add((prev, idx))
         pending = None
         prev = idx
         branch_opened_here = False
@@ -210,6 +217,10 @@ def _parse(s: str):
             pending = _BOND_ORDER[ch]
             i += 1
         elif ch.isdigit() or ch == "%":
+            if branch_opened_here:
+                # OpenSMILES: a branch is '(' [bond] chain ')' — ring-bond
+                # digits belong to the branched_atom, never open a branch
+                return None, None, "ring digit directly after '('"
             if ch == "%":
                 if i + 2 >= n or not s[i + 1 : i + 3].isdigit():
                     return None, None,"bad %ring digits"
@@ -225,6 +236,10 @@ def _parse(s: str):
                 return None, None,"branch before any atom"
             if pending is not None:
                 return None, None,"bond before branch open"
+            if branch_opened_here:
+                # 'C((C)C)' — a branch cannot start with another branch
+                # (round-3 review finding; RDKit/OpenSMILES reject it)
+                return None, None, "branch directly after '('"
             stack.append(prev)
             branch_opened_here = True
             i += 1
@@ -242,6 +257,8 @@ def _parse(s: str):
                 return None, None,"bond across dot"
             if prev is None:
                 return None, None,"leading dot"
+            if branch_opened_here:
+                return None, None, "dot directly after '('"
             prev = None
             i += 1
         else:

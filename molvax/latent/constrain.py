@@ -22,14 +22,25 @@ State tracked per batch row (mirrors `smiles_check._parse`):
   * per-atom remaining bond budget (``val``, one slot per emitted atom;
     budgets are the parser's *most permissive* allowance:
     max(valence set) + 1 aromatic slack + |bracket charge| - bracket H);
+  * per-atom tree parent (``par``): chain bonds are exactly (atom,
+    parent) pairs, so the parser's duplicate-bond rule ('C1C1': a ring
+    closure may not re-bond an already-bonded pair) is checkable without
+    a full adjacency matrix;
   * current attachment atom ``prev``, pending bond order ``pend``;
   * branch stack (indices of atoms to return to at ')');
-  * ring-closure digits: opening atom, bond-order hint, reserved order,
-    closed pairs (for the parser's duplicate-ring-bond rule);
+  * ring-closure digits: opening atom, bond-order hint, reserved order.
+    Digits are REUSABLE after they close (canonical SMILES reuses digit 1
+    constantly, e.g. 'c1ccccc1Cc1ccccc1'); closed ring bonds move to a
+    fixed pair pool (``ppa``/``ppb``/``pn``, capacity max_len//2 — each
+    closure consumes two digit tokens, so the pool cannot overflow)
+    against which new closures are duplicate-checked;
   * two-char halogen fixup: 'C'+'l' retroactively becomes chlorine
     (budget 4 -> 1), 'B'+'r' bromine — exactly the parser's tokenizer;
   * a bracket-atom sub-machine covering ``[sym]``, ``[nH]``, ``[C@@H]``,
     ``[N+]``-style atoms (symbol, @/@@, H-count, charge);
+  * ``fresh`` ('(' seen, no atom yet): while set, '(' / ')' / ring digits
+    / '.' are illegal — a branch must start with an atom or bond (the
+    parser's OpenSMILES branch-start rule, so 'C((C)C)' never decodes);
   * ``done`` (pad emitted -> only pad may follow, so padding is always a
     suffix and the decoded string is exactly the prefix).
 
@@ -38,8 +49,11 @@ Termination guarantees (the string must *end* valid at T=120):
     to close every open branch/ring/bond/bracket — gates every token so
     that ``need_after <= tokens_remaining``. The ring term credits
     closures that are directly possible from the attachment atom
-    (duplicate-pair- and budget-aware) and costs 2 (enabling atom +
-    digit) for the rest;
+    (duplicate-bond- and budget-aware) and costs 2 (enabling atom +
+    digit) for the rest; when EVERY uncredited ring's partner is the
+    attachment atom itself, one extra enabling atom is budgeted
+    (``att_extra``) because the first chain atom is adjacent to the
+    partner and the duplicate-bond rule bars it from closing;
   * an anti-starvation invariant: no token may leave the row with an open
     ring while the attachment atom has zero bond budget and no stacked
     ancestor has any — the state from which no closure chain exists.
@@ -113,18 +127,19 @@ class ConState(NamedTuple):
     """Vectorized automaton state (one row per batch element)."""
 
     val: Array  # (B, A) int32 remaining bond budget per atom slot
+    par: Array  # (B, A) int32 tree parent per atom slot (-1 root)
     n_atoms: Array  # (B,) int32
     prev: Array  # (B,) int32 attachment atom index, -1 none
     pend: Array  # (B,) int32 pending bond order, 0 none
     stack: Array  # (B, DMAX) int32 saved attachment atoms
     sp: Array  # (B,) int32 stack depth
-    fresh: Array  # (B,) bool '(' seen, no atom yet (empty-branch rule)
+    fresh: Array  # (B,) bool '(' seen, no atom yet (branch-start rules)
     rpart: Array  # (B, NRING) int32 ring-opening atom, -1 closed/unused
     rhint: Array  # (B, NRING) int32 bond-order hint at open (0 none)
     rres: Array  # (B, NRING) int32 order reserved at open (hint or 1)
-    rdone: Array  # (B, NRING) bool digit used and closed
-    rpa: Array  # (B, NRING) int32 closed-pair lo atom (-1)
-    rpb: Array  # (B, NRING) int32 closed-pair hi atom (-1)
+    ppa: Array  # (B, P) int32 closed ring-bond pair lo atom (-1 unused)
+    ppb: Array  # (B, P) int32 closed ring-bond pair hi atom (-1 unused)
+    pn: Array  # (B,) int32 number of pool entries written
     done: Array  # (B,) bool pad emitted
     esc: Array  # (B,) bool escape hatch fired (must stay False)
     hfix: Array  # (B,) int32 halogen fixup: 0 none, 1 fresh 'C', 2 fresh 'B'
@@ -188,11 +203,15 @@ def init_state(batch: int, max_atoms: int) -> ConState:
     z = lambda *s: jnp.zeros(s if s else (batch,), jnp.int32)  # noqa: E731
     f = lambda *s: jnp.zeros(s if s else (batch,), bool)  # noqa: E731
     neg = lambda *s: jnp.full(s if s else (batch,), -1, jnp.int32)  # noqa: E731
+    # each ring closure consumes two digit tokens, so max_atoms//2 pool
+    # entries can never overflow within a max_atoms-token sequence
+    npair = max(1, max_atoms // 2)
     return ConState(
-        val=z(batch, max_atoms), n_atoms=z(), prev=neg(), pend=z(),
+        val=z(batch, max_atoms), par=neg(batch, max_atoms),
+        n_atoms=z(), prev=neg(), pend=z(),
         stack=neg(batch, DMAX), sp=z(), fresh=f(),
         rpart=neg(batch, NRING), rhint=z(batch, NRING), rres=z(batch, NRING),
-        rdone=f(batch, NRING), rpa=neg(batch, NRING), rpb=neg(batch, NRING),
+        ppa=neg(batch, npair), ppb=neg(batch, npair), pn=z(),
         done=f(), esc=f(), hfix=z(), horder=z(),
         b=z(), bbud=z(), bh=z(), bchg=z(), bsign=z(), bsymc=f(), bsymb=f(),
     )
@@ -236,14 +255,25 @@ def _anc_spare_max(
 
 
 def _dup_wrt(st: ConState, a: Array) -> Array:
-    """(B, NRING) bool: closing digit d at attachment atom ``a`` would
-    duplicate an already-closed ring bond (parser rule)."""
-    pa, pb = st.rpa[:, None, :], st.rpb[:, None, :]  # (B, 1, E)
-    done = st.rdone[:, None, :]
-    part = st.rpart[:, :, None]  # (B, D, 1)
-    aa = a[:, None, None]
-    hit = done & (((pa == part) & (pb == aa)) | ((pa == aa) & (pb == part)))
-    return jnp.any(hit, axis=2)
+    """(B, NRING) bool: closing a ring at atom ``a`` against each slot's
+    partner would put a second bond on an already-bonded pair — either a
+    closed ring bond (the pair pool) or the chain bond between ``a`` and
+    its tree parent / the partner and *its* parent (the parser's 'C1C1'
+    duplicate-bond rule). Rows for closed slots are garbage; callers mask
+    with ``open_d``."""
+    part = st.rpart  # (B, D)
+    lo = jnp.minimum(part, a[:, None])
+    hi = jnp.maximum(part, a[:, None])
+    pool = jnp.any(
+        (st.ppa[:, None, :] == lo[:, :, None])
+        & (st.ppb[:, None, :] == hi[:, :, None]),
+        axis=2,
+    )  # (B, D)
+    par_a = _gather_val(st.par, a)  # (B,) parent of a
+    oh = part[:, :, None] == jnp.arange(st.par.shape[1])[None, None, :]
+    par_part = jnp.sum(jnp.where(oh, st.par[:, None, :], 0), axis=2)  # (B, D)
+    chain = (part == par_a[:, None]) | (par_part == a[:, None])
+    return pool | chain
 
 
 def _hist(mask: Array, res: Array) -> Array:
@@ -307,13 +337,27 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
     h_prev = _hist(cred_prev, res)
     ndir_prev = jnp.sum(cred_prev, axis=1)
     # from a NEW atom every partner-distinct open ring is direct (fresh
-    # index: never a partner, never in a closed pair)
-    h_new = _hist(open_d & first_p, res)
-    ndir_new = jnp.sum(open_d & first_p, axis=1)
+    # index: never in a closed pair) — EXCEPT rings whose partner is the
+    # atom the new atom attaches to: that ring bond would duplicate the
+    # new chain bond (parser 'C1C1' rule)
+    new_ok = open_d & first_p & (st.rpart != st.prev[:, None])
+    h_new = _hist(new_ok, res)
+    ndir_new = jnp.sum(new_ok, axis=1)
+    # open rings whose partner IS the current attachment atom: the first
+    # enabling atom of the uncredited cost-2 closure chain attaches to
+    # prev and is therefore barred from closing them (duplicate-bond
+    # rule); when ALL uncredited rings are such, one extra enabling atom
+    # is needed (att_extra below)
+    n_att = jnp.sum(open_d & (st.rpart == st.prev[:, None]), axis=1)
 
     def need_ok(k, sp=None, rr=None, extra=0):
         need = (st.sp if sp is None else sp) + 2 * (r if rr is None else rr) - k
         return (need + extra) <= rem
+
+    def att_extra(k, rr, natt):
+        # credit never covers partner==attachment slots, so k <= rr - natt;
+        # equality means every uncredited ring needs the one-removed chain
+        return ((natt > 0) & (k >= rr - natt)).astype(jnp.int32)
 
     # --- atom tokens (outside brackets) ----------------------------------
     g = tb.atom_budget[None, :]  # (1, C)
@@ -351,18 +395,20 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
     )
 
     # --- ring digits ------------------------------------------------------
-    can_open = (st.rpart == -1) & ~st.rdone  # (B, NRING)
+    # a closed slot's digit is reusable (rpart == -1 suffices); digits are
+    # illegal while fresh (a branch cannot start with a ring digit)
+    can_open = st.rpart == -1  # (B, NRING)
     v_po = (vprev - o_att)[:, None]
     k_po = _credit(h_prev[:, None, :], ndir_prev[:, None],
                    jnp.broadcast_to(v_po, (B, NRING)), r[:, None],
                    partial_only=True)
     ok_open_slot = (
-        outside[:, None] & prev_ok[:, None] & can_open
+        outside[:, None] & prev_ok[:, None] & can_open & ~st.fresh[:, None]
         & (vprev >= o_att)[:, None] & (r < RMAX)[:, None]
         & ((v_po >= 1) | (anc_att[:, None] >= 1))
-        & ~(st.fresh[:, None] & (v_po == 0))
         & need_ok(k_po, sp=st.sp[:, None], rr=(r + 1)[:, None],
-                  extra=freshx[:, None])
+                  extra=att_extra(k_po, (r + 1)[:, None],
+                                  (n_att + 1)[:, None]))
     )
 
     hint = st.rhint
@@ -408,9 +454,9 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
     ok_close_slot = (
         outside[:, None] & prev_ok[:, None] & eligible & ~mismatch
         & (vprev[:, None] >= o_fin) & (vpart >= sur) & t_pc
-        & ~(st.fresh[:, None] & (v_pc == 0))
+        & ~st.fresh[:, None]
         & need_ok(k_pc, sp=st.sp[:, None], rr=(r - 1)[:, None],
-                  extra=freshx[:, None])
+                  extra=att_extra(k_pc, (r - 1)[:, None], n_att[:, None]))
     )
     slot_ok = ok_open_slot | ok_close_slot  # (B, NRING)
     dig = tb.digit_val  # (C,) values 0..9
@@ -421,8 +467,10 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
 
     # --- '(' / ')' / '.' --------------------------------------------------
     k_cur = _credit(h_prev, ndir_prev, vprev, r)
+    # a branch cannot start with another branch (parser branch-start rule)
     ok_open_br = (
-        outside & prev_ok & (st.pend == 0) & (st.sp < DMAX) & (vprev >= 1)
+        outside & prev_ok & ~st.fresh
+        & (st.pend == 0) & (st.sp < DMAX) & (vprev >= 1)
         & need_ok(k_cur, sp=st.sp + 1, extra=1)
     )[:, None] & tb.is_open[None, :]
 
@@ -434,10 +482,11 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
     dup_pop = _dup_wrt(st, popped)
     direct_pop = open_d & (st.rpart != popped[:, None]) & ~dup_pop & first_p
     k_pop = _credit(_hist(direct_pop, res), jnp.sum(direct_pop, axis=1), vpop, r)
+    n_att_pop = jnp.sum(open_d & (st.rpart == popped[:, None]), axis=1)
     ok_close_br = (
         outside & (st.sp > 0) & (st.pend == 0) & ~st.fresh
         & ~((r > 0) & (vpop == 0) & (anc2 == 0))
-        & need_ok(k_pop, sp=st.sp - 1)
+        & need_ok(k_pop, sp=st.sp - 1, extra=att_extra(k_pop, r, n_att_pop))
     )[:, None] & tb.is_close[None, :]
 
     ok_dot = (
@@ -549,6 +598,10 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     do_atom = outside & is_atom
     val = st.val - jnp.where(do_atom, o_att, 0)[:, None] * oh_prev
     val = val + jnp.where(do_atom, g_tok - o_att, 0)[:, None] * oh_new
+    # tree parent: the chain bond this atom creates (root atoms stay -1)
+    par = jnp.where(
+        (do_atom & prev_ok)[:, None] & oh_new, st.prev[:, None], st.par
+    )
     n_atoms = st.n_atoms + do_atom.astype(jnp.int32)
     prev = jnp.where(do_atom, st.n_atoms, st.prev)
     pend = jnp.where(do_atom, 0, st.pend)
@@ -593,11 +646,15 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     val = val - jnp.where(is_close, o_fin, 0)[:, None] * oh_prev
     oh_part = jnp.arange(A)[None, :] == slot_part[:, None]
     val = val - jnp.where(is_close, sur, 0)[:, None] * oh_part
-    rdone = st.rdone | (oh_slot & is_close[:, None])
+    # append the closed pair to the pool (duplicate-bond bookkeeping) and
+    # free the slot — its digit is reusable, as in canonical SMILES
     lo = jnp.minimum(st.prev, slot_part)
     hi = jnp.maximum(st.prev, slot_part)
-    rpa = jnp.where(oh_slot & is_close[:, None], lo[:, None], st.rpa)
-    rpb = jnp.where(oh_slot & is_close[:, None], hi[:, None], st.rpb)
+    oh_pn = jnp.arange(st.ppa.shape[1])[None, :] == st.pn[:, None]
+    wr_pool = oh_pn & is_close[:, None]
+    ppa = jnp.where(wr_pool, lo[:, None], st.ppa)
+    ppb = jnp.where(wr_pool, hi[:, None], st.ppb)
+    pn = st.pn + is_close.astype(jnp.int32)
     rpart = jnp.where(oh_slot & is_close[:, None], -1, rpart)
     pend = jnp.where(do_dig, 0, pend)
 
@@ -666,6 +723,9 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     bud_eff = jnp.maximum(st.bbud + st.bchg - st.bh, 0)
     val = val - jnp.where(do_rbr, o_att, 0)[:, None] * oh_prev
     val = val + jnp.where(do_rbr, bud_eff - o_att, 0)[:, None] * oh_new
+    par = jnp.where(
+        (do_rbr & (st.prev >= 0))[:, None] & oh_new, st.prev[:, None], par
+    )
     n_atoms = n_atoms + do_rbr.astype(jnp.int32)
     prev = jnp.where(do_rbr, st.n_atoms, prev)
     pend = jnp.where(do_rbr, 0, pend)
@@ -690,9 +750,10 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     horder = jnp.where(do_atom, horder, 0)
 
     return ConState(
-        val=val, n_atoms=n_atoms, prev=prev, pend=pend, stack=stack, sp=sp,
-        fresh=fresh, rpart=rpart, rhint=rhint, rres=rres, rdone=rdone,
-        rpa=rpa, rpb=rpb, done=done, esc=esc, hfix=hfix, horder=horder,
+        val=val, par=par, n_atoms=n_atoms, prev=prev, pend=pend,
+        stack=stack, sp=sp, fresh=fresh, rpart=rpart, rhint=rhint,
+        rres=rres, ppa=ppa, ppb=ppb, pn=pn,
+        done=done, esc=esc, hfix=hfix, horder=horder,
         b=b, bbud=bbud, bh=bh, bchg=bchg, bsign=bsign, bsymc=bsymc,
         bsymb=bsymb,
     )

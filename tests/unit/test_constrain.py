@@ -64,6 +64,9 @@ REAL_SMILES = [
     "C1=CC=CC=C1",                      # kekulized ring
     "CC1=CC(=O)C=CC1=O",
     "c1ccc(-c2ccccc2)cc1",              # explicit single bond to ring
+    "c1ccccc1Cc1ccccc1",                # ring digit REUSED (canonical form)
+    "CC1CCCCC1C1CCCCC1",                # digit reuse, saturated rings
+    "O=C(c1ccccc1)c1ccc(N)cc1",         # reuse inside/after branches
 ]
 
 
@@ -74,7 +77,7 @@ def test_superset_on_real_smiles():
         okp, why = parse_smiles(s)
         if okp and all(c in DEFAULT_CHARSET for c in s):
             cases.append(s)
-    assert len(cases) >= 18
+    assert len(cases) >= 21
     ok, closed = _validate(cases)
     for i, s in enumerate(cases):
         t = np.where(~ok[i])[0]
@@ -241,3 +244,34 @@ def test_validate_codes_rejects_parser_invalid():
     ok, closed = _validate(really_bad)
     accepted = ok.all(axis=1) & closed
     assert not accepted.any(), np.asarray(really_bad)[accepted]
+
+
+def test_duplicate_bond_and_branch_start_rejected():
+    """Round-3 review findings: the parser and the automaton must agree on
+    rejecting a ring closure that duplicates an existing bond ('C1C1'),
+    a branch starting with '(' ('C((C)C)'), and a ring digit directly
+    after '(' ('C(1CC1)')."""
+    for s in ["C1C1", "C((C)C)", "C(1CC1)", "C12(CC1)C2"]:
+        assert not parse_smiles(s)[0], s
+        ok, closed = _validate([s])
+        assert not (ok[0].all() and closed[0]), s
+    # and the valid neighbours stay valid on both sides
+    for s in ["C1CC1", "C(C(C))O", "C12CC1C2"]:
+        assert parse_smiles(s)[0], (s, parse_smiles(s)[1])
+        ok, closed = _validate([s])
+        assert ok[0].all() and closed[0], s
+
+
+def test_digit_reuse_roundtrip():
+    """Closed digits are reusable (canonical SMILES), and the duplicate
+    check survives the slot being recycled: reusing digit 1 for a second
+    ring bond between the SAME pair is still rejected."""
+    ok, closed = _validate(["C1CC1C1CC1"])
+    assert ok[0].all() and closed[0]
+    # recycling in place: a2 closes ring 1 (bond a2-a0) and immediately
+    # reopens digit 1 at itself; a4 closes it (bond a4-a2) — all pairs
+    # distinct, valid on both sides
+    s = "C1CC11CC1"
+    assert parse_smiles(s)[0], parse_smiles(s)[1]
+    ok, closed = _validate([s])
+    assert ok[0].all() and closed[0], s

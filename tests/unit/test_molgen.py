@@ -74,3 +74,25 @@ def test_load_dataset_synthetic_chem_source():
 def test_determinism():
     assert random_smiles(50, seed=11) == random_smiles(50, seed=11)
     assert random_smiles(50, seed=11) != random_smiles(50, seed=12)
+
+
+def test_aromatic_heteroatoms_never_substituted():
+    """Pyridine-type 'n' (and o/s/[nH]) must carry no substituent: a
+    3-connected uncharged aromatic nitrogen cannot kekulize (round-3
+    review finding — the anchor site filter used to admit them)."""
+    import numpy as np
+
+    from molvax.data.molgen import random_molecule
+
+    rng = np.random.default_rng(123)
+    for _ in range(200):
+        mol = random_molecule(rng)
+        for i in range(len(mol)):
+            if not mol.aromatic[i]:
+                continue
+            ring_deg = sum(1 for j in mol.adj[i] if mol.aromatic[j])
+            subs = len(mol.adj[i]) - ring_deg
+            if mol.symbols[i] == "C" and not mol.explicit_h[i]:
+                assert subs <= 1, (i, mol.symbols[i], mol.adj[i])
+            else:
+                assert subs == 0, (i, mol.symbols[i], mol.adj[i])
