@@ -31,12 +31,18 @@ class OptimizeResult(NamedTuple):
     objective_start: Array  # (B,) objective at the seed z0 (before any step)
 
 
+@functools.lru_cache(maxsize=32)
 def default_objective(cfg: ModelConfig, property_index: int = 0, sign: float = 1.0):
     """Maximize (sign=+1) / minimize (sign=-1) one property-head output,
     in RAW property units (predictions are de-normalized with the training
     stats recorded in the config, so reported objectives read as logP/QED/SAS
     values; the de-normalization is affine with std>0 - same ascent
-    direction as the normalized head output)."""
+    direction as the normalized head output).
+
+    Cached per (cfg, index, sign): ``objective`` is a static jit arg of
+    `optimize_z`, so handing out a fresh closure per call would recompile
+    the 100-step differentiated scan on every evaluate() (round-3 review
+    finding)."""
     from ..nn.property_head import denormalize_properties
 
     def objective(params, z):

@@ -15,6 +15,7 @@ reparam noise depends only on the global step and sample index).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -232,8 +233,11 @@ def make_train_chunk(cfg: Config, chunk: int):
     return jax.jit(train_chunk, donate_argnums=(0,))
 
 
+@functools.lru_cache(maxsize=16)
 def make_eval_step(cfg: Config):
-    """Teacher-forced eval: fixed key, no optimizer."""
+    """Teacher-forced eval: fixed key, no optimizer. Cached per config so
+    repeated evaluate() calls reuse one jitted executable instead of
+    retracing the full forward+loss graph (round-3 review finding)."""
     mcfg = cfg.model
 
     def eval_step(state: TrainState, codes: Array, props: Optional[Array]):

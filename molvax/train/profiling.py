@@ -39,18 +39,25 @@ def annotate(name: str):
 
 def cost_summary(fn: Callable, *args, **kwargs) -> Dict[str, float]:
     """Compiler cost analysis of a jittable fn at these args: FLOPs, bytes
-    accessed, and the bf16/f32 speed-of-light step time on this device."""
+    accessed, arithmetic intensity, and — when the device peak is known —
+    the compute-bound speed-of-light step time in seconds
+    (``sol_step_s``: XLA-counted FLOPs / bf16 peak; Pallas custom calls
+    are invisible to the counter, so treat it as a lower bound)."""
     lowered = jax.jit(fn).lower(*args, **kwargs)
     cost = lowered.compile().cost_analysis()
     if isinstance(cost, list):  # older API returned one dict per computation
         cost = cost[0] if cost else {}
     flops = float(cost.get("flops", 0.0))
     bytes_accessed = float(cost.get("bytes accessed", 0.0))
-    return {
+    out = {
         "flops": flops,
         "bytes_accessed": bytes_accessed,
         "arithmetic_intensity": flops / bytes_accessed if bytes_accessed else 0.0,
     }
+    peak = device_peak_tflops()
+    if peak:
+        out["sol_step_s"] = flops / (peak * 1e12)
+    return out
 
 
 def forward_flops_per_smiles(cfg) -> float:
@@ -140,10 +147,19 @@ def step_timer(
 ) -> float:
     """Median drain-honest seconds per invocation of step_fn(*args).
 
-    fetch(out) must pull a scalar to the host (defaults to the first leaf);
-    run inside the timed region so the async queue fully drains."""
+    fetch(out) must pull a scalar to the host (defaults to the first
+    non-empty leaf, falling back to block_until_ready for empty/None
+    outputs); run inside the timed region so the async queue fully
+    drains."""
     if fetch is None:
-        fetch = lambda out: float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])  # noqa: E731
+
+        def fetch(out):
+            for leaf in jax.tree.leaves(out):
+                arr = np.asarray(leaf)
+                if arr.size:
+                    return float(arr.ravel()[0])
+            jax.block_until_ready(out)
+            return 0.0
     out = step_fn(*args)
     fetch(out)
     times = []
