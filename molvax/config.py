@@ -67,6 +67,14 @@ class ModelConfig:
     # (generation_kernel_supported falls back to the scan otherwise); the
     # TPU production presets switch it on.
     use_pallas_generation: bool = False
+    # Fused constrained-decoding automaton step (kernels/automaton.py):
+    # legality mask + masked selection + state transition in ONE Mosaic
+    # program per decode step, replacing the few hundred small XLA ops the
+    # valence automaton otherwise lowers to inside the generation scan
+    # (the measured wall of `--constrained` sampling). The kernel body and
+    # the XLA fallback are the same functions (latent/constrain.py), so
+    # numerics agree exactly; off-TPU the call runs in interpret mode.
+    use_pallas_automaton: bool = False
     # Which Pallas recurrence serves the decoder when use_pallas is on.
     # 'auto'/'per_layer' (default): one kernel per layer with the input-gate
     # GEMM computed in-kernel — the measured winner at every batch/width in

@@ -1,0 +1,192 @@
+"""Pallas TPU kernel: fused constrained-decoding automaton step.
+
+The valence automaton (latent/constrain.py) is pure elementwise/reduction
+VPU work, but as plain XLA inside the generation `lax.scan` it lowers to a
+few hundred small HLO ops per decode step; at T=120 steps those fixed
+per-op costs dominate the whole constrained decode (measured round 3:
+7.0k constrained vs 94.9k unconstrained SMILES/s at B=256 — the GRU step
+itself is ~22 us, the automaton ~280 us). This kernel fuses ONE WHOLE
+automaton step — legality mask (`step_mask_rem`) + masked token selection
++ state transition (`advance`) — into a single Mosaic program, so the
+automaton costs one kernel launch per step instead of the op-count tax.
+
+Single source of truth: the kernel body CALLS the same `step_mask_rem` /
+`advance` functions the XLA fallback uses (constrain.py is written
+Mosaic-safe: broadcasted iotas, one-hot contractions instead of gathers,
+no sorts). There is no duplicated automaton logic to drift.
+
+Selection is gumbel-argmax: the caller passes per-step ``scores``
+(= logits for greedy decode, or logits/temperature + Gumbel noise for
+sampling — categorical(masked/T) and argmax(masked/T + G) are the same
+distribution), the kernel masks illegal tokens to -1e9 and takes the
+first argmax. The jnp reference path (`auto_step_ref`) computes the
+identical formula, so kernel vs fallback agree exactly (integer state,
+same float compare).
+
+Layout: the automaton's 17 per-row scalars pack into one (B, SC) int32
+array so the scan carry is 9 arrays instead of 26; tables pack into one
+(18, C) int32 array. Grid is over batch blocks (each row is independent);
+all state + intermediates live in VMEM (~5 MB at b_blk=128).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..latent.constrain import (
+    ConState,
+    Tables,
+    _iota,
+    advance,
+    build_tables,
+    step_mask_rem,
+)
+
+Array = jax.Array
+
+# scalar-field order in the packed (B, SC) array: 12 int32 then 5 bools
+_SC_FIELDS = (
+    "n_atoms", "prev", "pend", "sp", "pn", "hfix", "horder",
+    "b", "bbud", "bh", "bchg", "bsign",
+    "fresh", "done", "esc", "bsymc", "bsymb",
+)
+SC = len(_SC_FIELDS)
+_BOOL_FIELDS = frozenset(("fresh", "done", "esc", "bsymc", "bsymb"))
+# array-valued state fields, in packed-tuple order
+_ARR_FIELDS = ("val", "par", "stack", "rpart", "rhint", "rres", "ppa", "ppb")
+# packed-table row order (ints first, then bool flags as 0/1)
+_TAB_ROWS = (
+    "atom_budget", "bond_order", "digit_val",
+    "is_atom", "is_l", "is_r", "is_c_upper", "is_b_upper", "is_open",
+    "is_close", "is_dot", "is_lbr", "is_rbr", "is_at", "is_h", "is_plus",
+    "is_minus", "is_pad",
+)
+_TAB_INT_ROWS = 3
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def pack_tables(tb: Tables) -> Array:
+    """(18, C) int32: all token-attribute tables as one kernel input."""
+    return jnp.stack(
+        [getattr(tb, name).astype(jnp.int32) for name in _TAB_ROWS], axis=0
+    )
+
+
+def _tables_from(it: Array, n: int) -> Tables:
+    rows = {name: it[i] for i, name in enumerate(_TAB_ROWS)}
+    for name in _TAB_ROWS[_TAB_INT_ROWS:]:
+        rows[name] = rows[name] != 0
+    return Tables(n=n, **rows)
+
+
+def pack_state(st: ConState):
+    """ConState -> (val, par, stack, rpart, rhint, rres, ppa, ppb, sc)."""
+    sc = jnp.stack(
+        [getattr(st, f).astype(jnp.int32) for f in _SC_FIELDS], axis=1
+    )  # (B, SC)
+    return tuple(getattr(st, f) for f in _ARR_FIELDS) + (sc,)
+
+
+def unpack_state(packed) -> ConState:
+    arrs = dict(zip(_ARR_FIELDS, packed[:-1]))
+    sc = packed[-1]
+    for i, f in enumerate(_SC_FIELDS):
+        col = sc[:, i]
+        arrs[f] = col != 0 if f in _BOOL_FIELDS else col
+    return ConState(**arrs)
+
+
+def _select(tb: Tables, st: ConState, scores: Array, rem: Array):
+    """Shared mask -> select -> advance body (kernel AND fallback).
+
+    scores: (B, C) fp32 — logits (greedy) or logits/T + Gumbel (sampling).
+    Returns (new ConState, code (B,) int32). First-argmax tie-breaking,
+    exactly `jnp.argmax` semantics, written gather-free for Mosaic."""
+    m = step_mask_rem(tb, st, rem)
+    sc = jnp.where(m, scores, -1e9)
+    mx = jnp.max(sc, axis=1, keepdims=True)
+    cidx = _iota(sc.shape, 1)
+    code = jnp.min(jnp.where(sc == mx, cidx, tb.n), axis=1)
+    return advance(tb, st, code), code
+
+
+def auto_step_ref(tb: Tables, packed, scores: Array, rem: Array):
+    """XLA fallback: identical math to the kernel, packed-state interface."""
+    st2, code = _select(tb, unpack_state(packed), scores, rem)
+    return pack_state(st2), code
+
+
+def _auto_kernel(
+    rem_ref, itab_ref,
+    val_ref, par_ref, stack_ref, rpart_ref, rhint_ref, rres_ref,
+    ppa_ref, ppb_ref, sc_ref, scores_ref,
+    oval_ref, opar_ref, ostack_ref, orpart_ref, orhint_ref, orres_ref,
+    oppa_ref, oppb_ref, osc_ref, ocode_ref,
+    *, n: int,
+):
+    tb = _tables_from(itab_ref[:], n)
+    packed = (
+        val_ref[:], par_ref[:], stack_ref[:], rpart_ref[:], rhint_ref[:],
+        rres_ref[:], ppa_ref[:], ppb_ref[:], sc_ref[:],
+    )
+    st2, code = _select(tb, unpack_state(packed), scores_ref[:], rem_ref[0])
+    out = pack_state(st2)
+    for ref, arr in zip(
+        (oval_ref, opar_ref, ostack_ref, orpart_ref, orhint_ref, orres_ref,
+         oppa_ref, oppb_ref, osc_ref),
+        out,
+    ):
+        ref[:] = arr
+    ocode_ref[:] = code[:, None]
+
+
+def _batch_block(B: int) -> int:
+    return 128 if B % 128 == 0 else B
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def auto_step_pallas(itab: Array, packed, scores: Array, rem: Array, n: int):
+    """One fused automaton step. Same contract as `auto_step_ref`.
+
+    itab: pack_tables output (static per charset). rem: int32 scalar
+    (tokens remaining after this one). Runs in interpret mode off-TPU so
+    tests exercise the identical program on CPU."""
+    B, C = scores.shape
+    b_blk = _batch_block(B)
+    grid = (B // b_blk,)
+
+    def bspec(x):
+        return pl.BlockSpec(
+            (b_blk,) + x.shape[1:], lambda i: (i,) + (0,) * (x.ndim - 1),
+            memory_space=pltpu.VMEM,
+        )
+
+    state_specs = [bspec(x) for x in packed]
+    out = pl.pallas_call(
+        functools.partial(_auto_kernel, n=n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(itab.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            *state_specs,
+            bspec(scores),
+        ],
+        out_specs=[
+            *state_specs,
+            pl.BlockSpec((b_blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            *[jax.ShapeDtypeStruct(x.shape, x.dtype) for x in packed],
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(jnp.reshape(rem, (1,)).astype(jnp.int32), itab, *packed, scores)
+    return tuple(out[:-1]), out[-1][:, 0]

@@ -84,6 +84,15 @@ from ..data.charset import Charset
 
 Array = jax.Array
 
+
+def _iota(shape, dim) -> Array:
+    """broadcasted_iota: the only iota form Mosaic accepts, and identical to
+    the jnp.arange broadcasts it replaces under XLA. Every index helper in
+    this module routes through it so step_mask/advance can run verbatim
+    inside the Pallas automaton kernel (kernels/automaton.py)."""
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
 DMAX = 16  # max branch nesting depth
 NRING = 10  # ring-digit slots (digits 1..9 in slot 1..9; slot 0 unused)
 RMAX = 6  # max simultaneously open rings during constrained generation
@@ -221,7 +230,7 @@ def _gather_val(val: Array, idx: Array) -> Array:
     """val[i, idx[i]] with idx == -1 -> 0. One-hot masked reduction rather
     than a gather: TPU gathers on tiny tensors serialize on the scalar
     unit, while the (B, A) compare+select+sum vectorizes on the VPU."""
-    oh = jnp.arange(val.shape[1])[None, :] == idx[:, None]
+    oh = _iota((idx.shape[0], val.shape[1]), 1) == idx[:, None]
     return jnp.sum(jnp.where(oh, val, 0), axis=1)
 
 
@@ -242,10 +251,10 @@ def _anc_spare_max(
     state — essential when ``prev`` is itself on the stack (right after
     '(' the pushed atom IS the attachment atom, and spending its last unit
     must zero the ancestor-spare view too)."""
-    depth = jnp.arange(DMAX)[None, :]
+    depth = _iota((1, DMAX), 1)
     limit = (sp - 1 if drop_top else sp)[:, None]
     live = depth < limit
-    oh = stack[:, :, None] == jnp.arange(val.shape[1])[None, None, :]
+    oh = stack[:, :, None] == _iota((1, 1, val.shape[1]), 2)
     vals = jnp.sum(jnp.where(oh, val[:, None, :], 0), axis=2)
     if adj_idx is not None:
         vals = vals - jnp.where(stack == adj_idx[:, None], adj[:, None], 0)
@@ -270,7 +279,7 @@ def _dup_wrt(st: ConState, a: Array) -> Array:
         axis=2,
     )  # (B, D)
     par_a = _gather_val(st.par, a)  # (B,) parent of a
-    oh = part[:, :, None] == jnp.arange(st.par.shape[1])[None, None, :]
+    oh = part[:, :, None] == _iota((1, 1, st.par.shape[1]), 2)
     par_part = jnp.sum(jnp.where(oh, st.par[:, None, :], 0), axis=2)  # (B, D)
     chain = (part == par_a[:, None]) | (par_part == a[:, None])
     return pool | chain
@@ -279,10 +288,12 @@ def _dup_wrt(st: ConState, a: Array) -> Array:
 def _hist(mask: Array, res: Array) -> Array:
     """(..., NRING) eligibility mask + per-slot costs res in {1..4} ->
     (..., 4) count-per-cost histogram. Bond orders are bounded by 4
-    ('$'), so greedy cheapest-first credit needs no sort."""
-    return jnp.stack(
-        [jnp.sum(mask & (res == c), axis=-1) for c in (1, 2, 3, 4)], axis=-1
-    )
+    ('$'), so greedy cheapest-first credit needs no sort. One broadcast
+    compare+sum (no jnp.stack: concatenation on the minor dim is a Mosaic
+    relayout; the compare form fuses)."""
+    cv = _iota((1,) * res.ndim + (4,), res.ndim) + 1  # costs 1..4
+    eq = mask[..., None] & (res[..., None] == cv)
+    return jnp.sum(eq.astype(jnp.int32), axis=-2)
 
 
 def _take(h: Array, w: Array) -> Array:
@@ -313,8 +324,15 @@ def _credit(h: Array, ndir: Array, v: Array, r: Array, partial_only=False):
 
 def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
     """(B, C) bool mask of legal next tokens."""
+    return step_mask_rem(tb, st, max_len - t - 1)
+
+
+def step_mask_rem(tb: Tables, st: ConState, rem: Array) -> Array:
+    """(B, C) bool mask of legal next tokens; ``rem`` = tokens remaining
+    AFTER this one. Pure jnp on Mosaic-safe ops: this exact function is the
+    body of the Pallas automaton kernel (kernels/automaton.py) AND the XLA
+    fallback path — single source of truth."""
     B = st.prev.shape[0]
-    rem = max_len - t - 1  # tokens remaining AFTER this one
     prev_ok = st.prev >= 0
     vprev = _gather_val(st.val, st.prev)
     anc = _anc_spare_max(st.val, st.stack, st.sp)
@@ -330,7 +348,8 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
     # second closure would duplicate the ring bond): only the first slot
     # per distinct partner counts as directly closable
     same_p = open_d[:, None, :] & (st.rpart[:, :, None] == st.rpart[:, None, :])
-    lower = jnp.tril(jnp.ones((NRING, NRING), bool), k=-1)[None]
+    # strictly-lower-triangular (tril k=-1): row index > column index
+    lower = _iota((1, NRING, NRING), 1) > _iota((1, NRING, NRING), 2)
     first_p = ~jnp.any(same_p & lower, axis=2)  # (B, NRING)
     direct_prev = open_d & (st.rpart != st.prev[:, None]) & ~dup_prev
     cred_prev = direct_prev & first_p  # credit view only; NOT legality
@@ -416,7 +435,7 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
                       jnp.maximum(hint, 1))
     mismatch = (st.pend[:, None] > 0) & (hint > 0) & (st.pend[:, None] != hint)
     sur = o_fin - jnp.maximum(st.rres, 1)
-    oh_part = st.rpart[:, :, None] == jnp.arange(st.val.shape[1])[None, None, :]
+    oh_part = st.rpart[:, :, None] == _iota((1, 1, st.val.shape[1]), 2)
     vpart = jnp.sum(
         jnp.where(oh_part, st.val[:, None, :], 0), axis=2
     )  # (B, NRING): val at each slot's partner atom (0 when closed)
@@ -425,11 +444,11 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
     # ancestor spare after closing each digit j: shared stack-value lookup,
     # per-digit adjustments applied in one broadcast (was a vmap of
     # _anc_spare_max — NRING redundant stack gathers per step)
-    stk_oh = st.stack[:, :, None] == jnp.arange(st.val.shape[1])[None, None, :]
+    stk_oh = st.stack[:, :, None] == _iota((1, 1, st.val.shape[1]), 2)
     stk_vals = jnp.sum(
         jnp.where(stk_oh, st.val[:, None, :], 0), axis=2
     )  # (B, DMAX)
-    live_anc = (jnp.arange(DMAX)[None, :] < st.sp[:, None]) & (st.stack >= 0)
+    live_anc = (_iota((1, DMAX), 1) < st.sp[:, None]) & (st.stack >= 0)
     vals_j = (
         stk_vals[:, None, :]
         - jnp.where(
@@ -462,7 +481,7 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
     dig = tb.digit_val  # (C,) values 0..9
     # token -> slot selection as a static (NRING, C) one-hot contraction
     # (dig > 0 excludes non-digit tokens; slot 0 is never a digit's slot)
-    dig_sel = (jnp.arange(NRING)[:, None] == dig[None, :]) & (dig[None, :] > 0)
+    dig_sel = (_iota((NRING, tb.n), 0) == dig[None, :]) & (dig[None, :] > 0)
     ok_digit = jnp.any(slot_ok[:, :, None] & dig_sel[None, :, :], axis=1)
 
     # --- '(' / ')' / '.' --------------------------------------------------
@@ -581,12 +600,32 @@ def step_mask(tb: Tables, st: ConState, t: Array, max_len: int) -> Array:
 
 
 def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
-    """Apply one emitted token (B,) to the automaton state."""
+    """Apply one emitted token (B,) to the automaton state.
+
+    Mosaic-safe (see step_mask_rem): per-token table attributes come from
+    one one-hot contraction instead of (B,)-indexed gathers — TPU gathers
+    on tiny tensors serialize on the scalar unit, and Mosaic has no
+    vector-gather at all."""
     B, A = st.val.shape
-    g_tok = tb.atom_budget[tok]  # (B,)
-    is_atom = tb.is_atom[tok]
-    bond_o = tb.bond_order[tok]
-    dig = tb.digit_val[tok]
+    oht = _iota((B, tb.n), 1) == tok[:, None]  # (B, C) emitted-token one-hot
+
+    def pick_i(table):  # (C,) int32 -> (B,)
+        return jnp.sum(jnp.where(oht, table[None, :], 0), axis=1)
+
+    def pick_b(table):  # (C,) bool -> (B,)
+        return jnp.any(oht & table[None, :], axis=1)
+
+    g_tok = pick_i(tb.atom_budget)  # (B,)
+    is_atom = pick_b(tb.is_atom)
+    bond_o = pick_i(tb.bond_order)
+    dig = pick_i(tb.digit_val)
+    t_l, t_r = pick_b(tb.is_l), pick_b(tb.is_r)
+    t_cu, t_bu = pick_b(tb.is_c_upper), pick_b(tb.is_b_upper)
+    t_open, t_close = pick_b(tb.is_open), pick_b(tb.is_close)
+    t_dot, t_lbr, t_rbr = pick_b(tb.is_dot), pick_b(tb.is_lbr), pick_b(tb.is_rbr)
+    t_at, t_h = pick_b(tb.is_at), pick_b(tb.is_h)
+    t_plus, t_minus = pick_b(tb.is_plus), pick_b(tb.is_minus)
+    is_pad = pick_b(tb.is_pad)
     outside = (st.b == 0) & ~st.done
     prev_ok = st.prev >= 0
     o_att = jnp.where(st.pend > 0, st.pend, jnp.where(prev_ok, 1, 0))
@@ -607,13 +646,13 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     pend = jnp.where(do_atom, 0, st.pend)
     fresh = jnp.where(do_atom, False, st.fresh)
     hfix = jnp.where(
-        do_atom & tb.is_c_upper[tok], 1,
-        jnp.where(do_atom & tb.is_b_upper[tok], 2, 0),
+        do_atom & t_cu, 1,
+        jnp.where(do_atom & t_bu, 2, 0),
     )
     horder = jnp.where(do_atom, o_att, 0)
 
     # --- halogen fixup ('l'/'r' outside bracket) -------------------------
-    do_hal = outside & (tb.is_l[tok] | tb.is_r[tok]) & (st.hfix > 0)
+    do_hal = outside & (t_l | t_r) & (st.hfix > 0)
     # the fixup atom is prev (the fresh C/B): budget becomes 1 - horder
     oh_prev2 = (jnp.arange(A)[None, :] == prev[:, None])
     oh_cur = jnp.arange(A)[None, :] == jnp.clip(prev, 0, A - 1)[:, None]
@@ -659,7 +698,7 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     pend = jnp.where(do_dig, 0, pend)
 
     # --- '(' / ')' / '.' --------------------------------------------------
-    do_open = outside & tb.is_open[tok]
+    do_open = outside & t_open
     oh_sp = jnp.arange(DMAX)[None, :] == st.sp[:, None]
     stack = jnp.where(
         oh_sp & do_open[:, None], st.prev[:, None], st.stack
@@ -667,7 +706,7 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     sp = st.sp + do_open.astype(jnp.int32)
     fresh = jnp.where(do_open, True, fresh)
 
-    do_close = outside & tb.is_close[tok]
+    do_close = outside & t_close
     oh_top = (
         jnp.arange(DMAX)[None, :]
         == jnp.clip(st.sp - 1, 0, DMAX - 1)[:, None]
@@ -677,39 +716,39 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     sp = jnp.where(do_close, st.sp - 1, sp)
     fresh = jnp.where(do_close, False, fresh)
 
-    do_dot = outside & tb.is_dot[tok]
+    do_dot = outside & t_dot
     prev = jnp.where(do_dot, -1, prev)
 
     # --- bracket machine --------------------------------------------------
-    do_lbr = outside & tb.is_lbr[tok]
+    do_lbr = outside & t_lbr
     b = jnp.where(do_lbr, 1, st.b)
     inb = (st.b > 0) & ~st.done
     # symbol
     do_sym = inb & (st.b == 1) & is_atom
     b = jnp.where(do_sym, 2, b)
     bbud = jnp.where(do_sym, g_tok, st.bbud)
-    bsymc = jnp.where(do_sym, tb.is_c_upper[tok], st.bsymc & ~do_sym)
-    bsymb = jnp.where(do_sym, tb.is_b_upper[tok], st.bsymb & ~do_sym)
+    bsymc = jnp.where(do_sym, t_cu, st.bsymc & ~do_sym)
+    bsymb = jnp.where(do_sym, t_bu, st.bsymb & ~do_sym)
     # Cl/Br inside bracket
     do_bhal = inb & (st.b == 2) & (
-        (tb.is_l[tok] & st.bsymc) | (tb.is_r[tok] & st.bsymb)
+        (t_l & st.bsymc) | (t_r & st.bsymb)
     )
     bbud = jnp.where(do_bhal, 1, bbud)
     bsymc = bsymc & ~do_bhal
     bsymb = bsymb & ~do_bhal
     # chirality
-    do_at = inb & tb.is_at[tok]
+    do_at = inb & t_at
     b = jnp.where(do_at & (st.b == 2), 3, jnp.where(do_at & (st.b == 3), 4, b))
     # H count
-    do_bh = inb & tb.is_h[tok]
+    do_bh = inb & t_h
     b = jnp.where(do_bh, 5, b)
     bh = jnp.where(do_bh, 1, st.bh)
     do_bhd = inb & (st.b == 5) & (dig > 0)
     b = jnp.where(do_bhd, 6, b)
     bh = jnp.where(do_bhd, dig, bh)
     # charge
-    do_sign = inb & (tb.is_plus[tok] | tb.is_minus[tok])
-    new_sign = jnp.where(tb.is_plus[tok], 1, -1)
+    do_sign = inb & (t_plus | t_minus)
+    new_sign = jnp.where(t_plus, 1, -1)
     first_sign = do_sign & (st.b != 7)
     more_sign = do_sign & (st.b == 7)
     b = jnp.where(do_sign, 7, b)
@@ -719,7 +758,7 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     b = jnp.where(do_bcd, 8, b)
     bchg = jnp.where(do_bcd, dig, bchg)
     # close bracket -> emit atom
-    do_rbr = inb & tb.is_rbr[tok] & (st.b >= 2)
+    do_rbr = inb & t_rbr & (st.b >= 2)
     bud_eff = jnp.maximum(st.bbud + st.bchg - st.bh, 0)
     val = val - jnp.where(do_rbr, o_att, 0)[:, None] * oh_prev
     val = val + jnp.where(do_rbr, bud_eff - o_att, 0)[:, None] * oh_new
@@ -737,7 +776,6 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     bbud = jnp.where(do_rbr, 0, bbud)
 
     # --- pad / done -------------------------------------------------------
-    is_pad = tb.is_pad[tok]
     closed = (
         (st.n_atoms >= 1) & (st.pend == 0) & (st.sp == 0)
         & (jnp.sum(st.rpart >= 0, axis=1) == 0) & (st.b == 0)

@@ -70,9 +70,15 @@ def generate(
     if key is None:
         key = jax.random.key(0)
 
-    con_tb = con_state = None
+    con_tb = con_pst0 = con_select = None
     if constrained:
-        from .constrain import advance, build_tables, init_state, step_mask
+        from ..kernels.automaton import (
+            auto_step_pallas,
+            auto_step_ref,
+            pack_state,
+            pack_tables,
+        )
+        from .constrain import build_tables, init_state
 
         if charset.size != C:
             raise ValueError(
@@ -80,7 +86,26 @@ def generate(
                 f"{C} != charset size {charset.size}"
             )
         con_tb = build_tables(charset)
-        con_state = init_state(B, T)
+        con_pst0 = pack_state(init_state(B, T))
+        if cfg.use_pallas_automaton:
+            itab = pack_tables(con_tb)
+
+            def con_select(pst, scores, rem):
+                return auto_step_pallas(itab, pst, scores, rem, con_tb.n)
+
+        else:
+
+            def con_select(pst, scores, rem):
+                return auto_step_ref(con_tb, pst, scores, rem)
+
+        def con_scores(logits_t, key_t):
+            # gumbel-argmax == categorical on the masked logits; precomputing
+            # the noise lets the automaton kernel own the whole selection
+            if greedy:
+                return logits_t
+            return logits_t / temperature + jax.random.gumbel(
+                key_t, logits_t.shape, jnp.float32
+            )
 
     if cfg.decoder_conditioning == "repeat_z":
         from ..nn.decoder import decode as dec_fn
@@ -89,22 +114,17 @@ def generate(
         if constrained:
             # non-autoregressive logits, sequential constrained selection
             def pick(carry, inp):
-                cst, t = carry, inp[0]
+                pst, t = carry, inp[0]
                 logits_t, key_t = inp[1], inp[2]
-                m = step_mask(con_tb, cst, t, T)
-                lg = jnp.where(m, logits_t, -1e9)
-                if greedy:
-                    code_t = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-                else:
-                    code_t = jax.random.categorical(
-                        key_t, lg / temperature
-                    ).astype(jnp.int32)
-                return advance(con_tb, cst, code_t), code_t
+                pst, code_t = con_select(
+                    pst, con_scores(logits_t, key_t), T - 1 - t
+                )
+                return pst, code_t
 
             keys = jax.random.split(key, T)
             _, codes_t = jax.lax.scan(
                 pick,
-                con_state,
+                con_pst0,
                 (jnp.arange(T), jnp.swapaxes(logits, 0, 1), keys),
             )
             return jnp.swapaxes(codes_t, 0, 1), logits
@@ -142,28 +162,21 @@ def generate(
     keys = jax.random.split(key, T)
 
     if constrained:
-        from .constrain import advance, step_mask
 
         def step_con(carry, inp):
             t, key_t = inp
-            hs, prev, cst = carry
+            hs, prev, pst = carry
             x_t = jnp.concatenate([z_emb, prev], axis=-1)
             hs, out = gru_stack_step(dec["gru"], hs, x_t)
             logits_t = linear(dec["linear_out"], out)  # (B, C)
-            m = step_mask(con_tb, cst, t, T)
-            lg = jnp.where(m, logits_t, -1e9)
-            if greedy:
-                code_t = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-            else:
-                code_t = jax.random.categorical(
-                    key_t, lg / temperature
-                ).astype(jnp.int32)
-            cst = advance(con_tb, cst, code_t)
+            pst, code_t = con_select(
+                pst, con_scores(logits_t, key_t), T - 1 - t
+            )
             onehot_t = jax.nn.one_hot(code_t, C, dtype=jnp.float32)
-            return (hs, onehot_t, cst), (code_t, logits_t)
+            return (hs, onehot_t, pst), (code_t, logits_t)
 
         (_, _, _), (codes_t, logits_t) = jax.lax.scan(
-            step_con, (h0, prev0, con_state), (jnp.arange(T), keys)
+            step_con, (h0, prev0, con_pst0), (jnp.arange(T), keys)
         )
         return jnp.swapaxes(codes_t, 0, 1), jnp.swapaxes(logits_t, 0, 1)
 
