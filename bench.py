@@ -169,11 +169,22 @@ def measure_generation(cfg, charset_size: int, batch: int = 256, steps: int = 96
         constrained=True,
         charset=DEFAULT_CHARSET,
     )
+    # same decode with the fused automaton kernel (kernels/automaton.py):
+    # mask+select+advance in one Mosaic program per step instead of the
+    # automaton's few hundred XLA ops
+    con_fused_rate, _ = timed(
+        dataclasses.replace(
+            mcfg, use_pallas_generation=False, use_pallas_automaton=True
+        ),
+        constrained=True,
+        charset=DEFAULT_CHARSET,
+    )
 
     out = {
         "gen_smiles_per_sec": round(scan_rate, 1),
         "gen_spread": round(spread, 3),
         "gen_constrained_smiles_per_sec": round(con_rate, 1),
+        "gen_constrained_fused_smiles_per_sec": round(con_fused_rate, 1),
     }
     if fused_rate is not None:
         out["gen_fused_smiles_per_sec"] = round(fused_rate, 1)

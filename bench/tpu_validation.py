@@ -169,7 +169,39 @@ def main() -> int:
         {k: round(v, 5) for k, v in quick_gate(params, cfg.model, ds.codes[:256]).items()}
     )
 
-    # 6. throughput comparison (informational)
+    # 6. constrained-decoding automaton kernel: compiled Mosaic vs the XLA
+    # fallback must agree EXACTLY (integer state; identical masked-argmax
+    # float compare on the same logits), and every decode must be
+    # chemically valid
+    import jax.numpy as jnp
+
+    from molvax.data.featurize import decode_codes
+    from molvax.data.smiles_check import chem_valid
+    from molvax.latent.sample import generate
+    from molvax.nn import vae
+
+    mu_t, _ = vae.encode(params, cfg.model, jnp.asarray(ds.codes[:256]))
+    c_auto = dataclasses.replace(
+        cfg.model, use_pallas_generation=False, use_pallas_automaton=True
+    )
+    c_xla = dataclasses.replace(c_auto, use_pallas_automaton=False)
+    key = jax.random.key(7)
+    codes_k, _ = generate(
+        params, c_auto, mu_t, key, greedy=True,
+        constrained=True, charset=DEFAULT_CHARSET,
+    )
+    codes_r, _ = generate(
+        params, c_xla, mu_t, key, greedy=True,
+        constrained=True, charset=DEFAULT_CHARSET,
+    )
+    agree = float(np.mean(np.asarray(codes_k) == np.asarray(codes_r)))
+    smiles = decode_codes(np.asarray(codes_k), DEFAULT_CHARSET)
+    valid = float(np.mean([s != "" and chem_valid(s) for s in smiles]))
+    results["automaton"] = {"agreement": agree, "chem_valid": valid}
+    assert agree == 1.0, f"automaton kernel vs XLA disagree: {results['automaton']}"
+    assert valid == 1.0, f"constrained decode not all valid: {results['automaton']}"
+
+    # 7. throughput comparison (informational)
     def rate(use_pallas):
         c = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, use_pallas=use_pallas)

@@ -1,9 +1,13 @@
 """Pallas TPU kernels for the hot ops (SURVEY.md 7 stage 8), each with a jnp
 reference implementation and interpret-mode tests:
 
-  gru.py      - stacked-GRU layer recurrence (the training hot loop)
-  conv_enc.py - fused conv encoder (codes -> mu/logvar, one-hot stays in VMEM)
-  sampler.py  - fused reparameterization + KL with the on-chip PRNG
+  gru.py       - stacked-GRU layer recurrence (the training hot loop)
+  gru_stack.py - opt-in all-layers fused recurrence (weights VMEM-resident)
+  conv_enc.py  - fused conv encoder (codes -> mu/logvar, one-hot in VMEM)
+  sampler.py   - fused reparameterization + KL with the on-chip PRNG
+  generate.py  - fully VMEM-resident autoregressive generation loop
+  automaton.py - fused constrained-decoding automaton step (mask+select+
+                 advance of latent/constrain.py in one Mosaic program)
 """
 
 import jax

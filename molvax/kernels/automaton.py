@@ -104,23 +104,35 @@ def unpack_state(packed) -> ConState:
     return ConState(**arrs)
 
 
-def _select(tb: Tables, st: ConState, scores: Array, rem: Array):
+def select_advance(tb: Tables, st: ConState, scores: Array, rem: Array):
     """Shared mask -> select -> advance body (kernel AND fallback).
 
     scores: (B, C) fp32 — logits (greedy) or logits/T + Gumbel (sampling).
     Returns (new ConState, code (B,) int32). First-argmax tie-breaking,
-    exactly `jnp.argmax` semantics, written gather-free for Mosaic."""
+    exactly `jnp.argmax` semantics, written gather-free for Mosaic.
+
+    Illegal tokens floor at -inf (not a finite sentinel) so any finite
+    legal score wins at ANY sampling temperature — a -1e9 floor could tie
+    legal logits scaled by a tiny T and break validity-by-construction.
+    NaN defense: a NaN score row makes `sc == mx` all-false and the
+    argmin-of-iota return the out-of-range sentinel C; it is mapped to pad
+    (advance() then records the escape in ``esc``) instead of crashing the
+    host-side charset decode."""
     m = step_mask_rem(tb, st, rem)
-    sc = jnp.where(m, scores, -1e9)
+    sc = jnp.where(m, scores, -jnp.inf)
     mx = jnp.max(sc, axis=1, keepdims=True)
     cidx = _iota(sc.shape, 1)
     code = jnp.min(jnp.where(sc == mx, cidx, tb.n), axis=1)
+    code = jnp.where(code >= tb.n, 0, code)
     return advance(tb, st, code), code
 
 
 def auto_step_ref(tb: Tables, packed, scores: Array, rem: Array):
-    """XLA fallback: identical math to the kernel, packed-state interface."""
-    st2, code = _select(tb, unpack_state(packed), scores, rem)
+    """XLA fallback: identical math to the kernel, packed-state interface.
+    (The generation scan's fallback carries ConState natively and calls
+    `select_advance` directly — no per-step pack/unpack; this wrapper
+    serves the kernel-equality tests.)"""
+    st2, code = select_advance(tb, unpack_state(packed), scores, rem)
     return pack_state(st2), code
 
 
@@ -137,7 +149,9 @@ def _auto_kernel(
         val_ref[:], par_ref[:], stack_ref[:], rpart_ref[:], rhint_ref[:],
         rres_ref[:], ppa_ref[:], ppb_ref[:], sc_ref[:],
     )
-    st2, code = _select(tb, unpack_state(packed), scores_ref[:], rem_ref[0])
+    st2, code = select_advance(
+        tb, unpack_state(packed), scores_ref[:], rem_ref[0]
+    )
     out = pack_state(st2)
     for ref, arr in zip(
         (oval_ref, opar_ref, ostack_ref, orpart_ref, orhint_ref, orres_ref,

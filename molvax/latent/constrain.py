@@ -630,8 +630,8 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     prev_ok = st.prev >= 0
     o_att = jnp.where(st.pend > 0, st.pend, jnp.where(prev_ok, 1, 0))
 
-    oh_prev = (jnp.arange(A)[None, :] == st.prev[:, None]) & prev_ok[:, None]
-    oh_new = jnp.arange(A)[None, :] == st.n_atoms[:, None]
+    oh_prev = (_iota((1, A), 1) == st.prev[:, None]) & prev_ok[:, None]
+    oh_new = _iota((1, A), 1) == st.n_atoms[:, None]
 
     # --- atom emission (outside bracket) ---------------------------------
     do_atom = outside & is_atom
@@ -654,8 +654,8 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     # --- halogen fixup ('l'/'r' outside bracket) -------------------------
     do_hal = outside & (t_l | t_r) & (st.hfix > 0)
     # the fixup atom is prev (the fresh C/B): budget becomes 1 - horder
-    oh_prev2 = (jnp.arange(A)[None, :] == prev[:, None])
-    oh_cur = jnp.arange(A)[None, :] == jnp.clip(prev, 0, A - 1)[:, None]
+    oh_prev2 = _iota((1, A), 1) == prev[:, None]
+    oh_cur = _iota((1, A), 1) == jnp.clip(prev, 0, A - 1)[:, None]
     cur_pv = jnp.sum(jnp.where(oh_cur, val, 0), axis=1)
     val = val + jnp.where(do_hal, (1 - st.horder) - cur_pv, 0)[:, None] * oh_prev2
 
@@ -666,8 +666,8 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     # --- ring digit -------------------------------------------------------
     do_dig = outside & (dig > 0)
     slot = jnp.where(do_dig, dig, 0)  # (B,) slot index (0 inert)
-    oh_slot = (jnp.arange(NRING)[None, :] == slot[:, None]) & do_dig[:, None]
-    oh_sl = jnp.arange(NRING)[None, :] == slot[:, None]  # exact one-hot
+    oh_slot = (_iota((1, NRING), 1) == slot[:, None]) & do_dig[:, None]
+    oh_sl = _iota((1, NRING), 1) == slot[:, None]  # exact one-hot
     slot_part = jnp.sum(jnp.where(oh_sl, st.rpart, 0), axis=1)
     is_close = do_dig & (slot_part >= 0)
     is_openr = do_dig & ~is_close
@@ -683,13 +683,13 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     o_fin = jnp.where(st.pend > 0, st.pend, jnp.maximum(slot_hint, 1))
     sur = o_fin - slot_res
     val = val - jnp.where(is_close, o_fin, 0)[:, None] * oh_prev
-    oh_part = jnp.arange(A)[None, :] == slot_part[:, None]
+    oh_part = _iota((1, A), 1) == slot_part[:, None]
     val = val - jnp.where(is_close, sur, 0)[:, None] * oh_part
     # append the closed pair to the pool (duplicate-bond bookkeeping) and
     # free the slot — its digit is reusable, as in canonical SMILES
     lo = jnp.minimum(st.prev, slot_part)
     hi = jnp.maximum(st.prev, slot_part)
-    oh_pn = jnp.arange(st.ppa.shape[1])[None, :] == st.pn[:, None]
+    oh_pn = _iota((1, st.ppa.shape[1]), 1) == st.pn[:, None]
     wr_pool = oh_pn & is_close[:, None]
     ppa = jnp.where(wr_pool, lo[:, None], st.ppa)
     ppb = jnp.where(wr_pool, hi[:, None], st.ppb)
@@ -699,7 +699,7 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
 
     # --- '(' / ')' / '.' --------------------------------------------------
     do_open = outside & t_open
-    oh_sp = jnp.arange(DMAX)[None, :] == st.sp[:, None]
+    oh_sp = _iota((1, DMAX), 1) == st.sp[:, None]
     stack = jnp.where(
         oh_sp & do_open[:, None], st.prev[:, None], st.stack
     )
@@ -707,10 +707,7 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     fresh = jnp.where(do_open, True, fresh)
 
     do_close = outside & t_close
-    oh_top = (
-        jnp.arange(DMAX)[None, :]
-        == jnp.clip(st.sp - 1, 0, DMAX - 1)[:, None]
-    )
+    oh_top = _iota((1, DMAX), 1) == jnp.clip(st.sp - 1, 0, DMAX - 1)[:, None]
     top = jnp.sum(jnp.where(oh_top, st.stack, 0), axis=1)
     prev = jnp.where(do_close, top, prev)
     sp = jnp.where(do_close, st.sp - 1, sp)

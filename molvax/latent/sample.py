@@ -74,9 +74,9 @@ def generate(
     if constrained:
         from ..kernels.automaton import (
             auto_step_pallas,
-            auto_step_ref,
             pack_state,
             pack_tables,
+            select_advance,
         )
         from .constrain import build_tables, init_state
 
@@ -86,17 +86,21 @@ def generate(
                 f"{C} != charset size {charset.size}"
             )
         con_tb = build_tables(charset)
-        con_pst0 = pack_state(init_state(B, T))
         if cfg.use_pallas_automaton:
+            # packed state is the kernel's carry layout (9 arrays)
+            con_pst0 = pack_state(init_state(B, T))
             itab = pack_tables(con_tb)
 
             def con_select(pst, scores, rem):
                 return auto_step_pallas(itab, pst, scores, rem, con_tb.n)
 
         else:
+            # XLA fallback carries ConState natively — same select_advance
+            # math as the kernel, no per-step pack/unpack tax
+            con_pst0 = init_state(B, T)
 
-            def con_select(pst, scores, rem):
-                return auto_step_ref(con_tb, pst, scores, rem)
+            def con_select(st, scores, rem):
+                return select_advance(con_tb, st, scores, rem)
 
         def con_scores(logits_t, key_t):
             # gumbel-argmax == categorical on the masked logits; precomputing
