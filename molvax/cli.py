@@ -148,7 +148,10 @@ def cmd_sample(args) -> int:
         )
     for s in smiles:
         print(s)
-    print(f"# grammar-valid: {valid_fraction(smiles):.2%}", file=sys.stderr)
+    print(
+        f"# grammar-valid: {valid_fraction(smiles, charset):.2%}",
+        file=sys.stderr,
+    )
     if args.constrained:
         from .data import chem_valid_fraction
 
@@ -285,22 +288,24 @@ def cmd_optimize(args) -> int:
 
 
 def _read_smiles_lines(path: str) -> list:
-    """One SMILES per line; '#' comments and blank lines skipped. CSV/TSV
-    rows use the first field (chemvae .smi/.csv convention, data/zinc.py)."""
+    """One SMILES per line; '#' comments and blank lines skipped. Rows take
+    the first comma/whitespace-separated field — the SAME parsing as
+    `data/zinc.py::load_smiles_file`, so conventional name-annotated .smi
+    rows ('CCO ethanol') and csv headers work identically in the training
+    loader and the encode workflow."""
     out = []
     with open(path) as f:
         for line in f:
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
-            # tab first: it is an unambiguous separator (SMILES never
-            # contain tabs), while a comma may appear inside later fields
-            if "\t" in line:
-                line = line.split("\t", 1)[0].strip()
-            if "," in line:
-                line = line.split(",", 1)[0].strip()
-            if line and line.lower() != "smiles":
-                out.append(line)
+            tok = line.split(",")[0].split()
+            if not tok:
+                continue
+            s = tok[0]
+            if s.lower() in ("smiles", "canonical_smiles"):
+                continue
+            out.append(s)
     return out
 
 
@@ -315,6 +320,14 @@ def cmd_encode(args) -> int:
     smiles = list(args.smiles)
     if args.infile:
         smiles = _read_smiles_lines(args.infile) + smiles
+    n_all = len(smiles)
+    smiles = [s for s in smiles if len(s) <= cfg.model.max_len]
+    if len(smiles) < n_all:
+        print(
+            f"[molvax] skipped {n_all - len(smiles)} SMILES longer than "
+            f"max_len={cfg.model.max_len}",
+            file=sys.stderr,
+        )
     if not smiles:
         raise SystemExit("no SMILES given (positional args or --in FILE)")
     mu, logvar = encode_corpus(
@@ -342,7 +355,12 @@ def cmd_decode(args) -> int:
     cfg, state, charset = _restore(cfg, args.ckpt, args)
     z = np.load(args.infile, allow_pickle=True)
     if hasattr(z, "files"):  # .npz: prefer explicit z, else mu
-        key_name = "z" if "z" in z.files else "mu"
+        key_name = "z" if "z" in z.files else "mu" if "mu" in z.files else None
+        if key_name is None:
+            raise SystemExit(
+                f"{args.infile}: expected a 'z' or 'mu' array in the .npz "
+                f"(found: {', '.join(z.files) or 'none'})"
+            )
         z = z[key_name]
     smiles = decode_latents(
         state.params,
@@ -358,7 +376,10 @@ def cmd_decode(args) -> int:
     )
     for s in smiles:
         print(s)
-    print(f"# grammar-valid: {valid_fraction(smiles):.2%}", file=sys.stderr)
+    print(
+        f"# grammar-valid: {valid_fraction(smiles, charset):.2%}",
+        file=sys.stderr,
+    )
     return 0
 
 

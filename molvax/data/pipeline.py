@@ -36,6 +36,12 @@ class BatchIterator:
         sharding: Optional[jax.sharding.Sharding] = None,
         with_properties: bool = False,
     ):
+        if len(dataset) == 0:
+            raise ValueError(
+                "empty corpus: the dataset has 0 rows (a .smi/.csv whose "
+                "lines were all headers/blank/longer than max_len loads "
+                "empty) — check data.source / data.max_len"
+            )
         if len(dataset) < batch_size:
             # tile small datasets up to one batch so smoke configs run
             reps = -(-batch_size // len(dataset))

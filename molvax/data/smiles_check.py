@@ -272,6 +272,10 @@ def _parse(s: str):
         return None, None,f"unclosed ring digit(s) {sorted(rings)}"
     if not atoms:
         return None, None,"no atoms"
+    if prev is None:
+        # prev is only None here when the final character was '.' —
+        # OpenSMILES requires a chain after the dot ('CCO.' is invalid)
+        return None, None, "trailing dot"
     for a in atoms:
         if not _valence_ok(a):
             return None, None, f"valence of {a.symbol} exceeded ({a.bond_sum}+{a.explicit_h}H)"

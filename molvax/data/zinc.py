@@ -45,7 +45,11 @@ class Dataset:
     def split(self, test_fraction: float = 0.1, seed: int = 0) -> Tuple["Dataset", "Dataset"]:
         rng = np.random.default_rng(seed)
         perm = rng.permutation(len(self))
+        # never floor a requested holdout to 0 rows (evaluate --holdout on a
+        # smoke corpus would otherwise run metrics on an empty split)
         n_test = int(len(self) * test_fraction)
+        if test_fraction > 0 and n_test == 0 and len(self) >= 2:
+            n_test = 1
         te, tr = perm[:n_test], perm[n_test:]
         props = self.properties
         return (
@@ -262,6 +266,14 @@ def property_targets(
         smiles = decode_codes(codes, charset)
     from .properties import computed_properties
 
+    if mode == "auto" and len(smiles) > 2000:
+        # decide the parse-fraction gate on a sample first: running the
+        # full parse+descriptor pass over a grammar-level corpus (up to
+        # 1.9M rows at MOSES scale) only to throw the result away made the
+        # surrogate fallback pay the computed path's whole cost
+        _, mask_s = computed_properties(smiles[:1000])
+        if len(mask_s) == 0 or float(mask_s.mean()) < 0.5:
+            return surrogate_properties(codes, charset)
     props, mask = computed_properties(smiles)
     if mode == "computed" or (len(mask) > 0 and float(mask.mean()) >= 0.5):
         return props

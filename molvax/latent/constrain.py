@@ -510,6 +510,9 @@ def step_mask_rem(tb: Tables, st: ConState, rem: Array) -> Array:
 
     ok_dot = (
         outside & prev_ok & (st.pend == 0) & (st.sp == 0) & (r == 0)
+        # a chain must follow the dot (parser 'trailing dot' rule): the
+        # next token must be an atom, so one slot must remain after it
+        & (rem >= 1)
     )[:, None] & tb.is_dot[None, :]
 
     # --- bracket atoms ----------------------------------------------------
@@ -581,7 +584,7 @@ def step_mask_rem(tb: Tables, st: ConState, rem: Array) -> Array:
     # --- pad --------------------------------------------------------------
     closed = (
         (st.n_atoms >= 1) & (st.pend == 0) & (st.sp == 0) & (r == 0)
-        & (st.b == 0)
+        & (st.b == 0) & prev_ok  # prev == -1 here means a trailing dot
     )
     ok_pad = (st.done | closed)[:, None] & tb.is_pad[None, :]
 
@@ -776,6 +779,7 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     closed = (
         (st.n_atoms >= 1) & (st.pend == 0) & (st.sp == 0)
         & (jnp.sum(st.rpart >= 0, axis=1) == 0) & (st.b == 0)
+        & (st.prev >= 0)  # trailing dot leaves prev == -1
     )
     esc = st.esc | (is_pad & ~st.done & ~closed)
     done = st.done | is_pad
@@ -820,5 +824,6 @@ def validate_codes(
     closed = (
         (stf.n_atoms >= 1) & (stf.pend == 0) & (stf.sp == 0)
         & (jnp.sum(stf.rpart >= 0, axis=1) == 0) & (stf.b == 0)
+        & (stf.prev >= 0)  # trailing dot leaves prev == -1
     ) | stf.done
     return jnp.swapaxes(oks, 0, 1), closed & ~stf.esc

@@ -114,3 +114,15 @@ def test_read_smiles_lines_tsv_with_commas(tmp_path):
     p = tmp_path / "in.smi"
     p.write_text("# hdr\nCCO\tZINC-1,batch2\nCCN,plain_csv\nsmiles\nCCC\n")
     assert _read_smiles_lines(str(p)) == ["CCO", "CCN", "CCC"]
+
+
+def test_read_smiles_lines_name_column(tmp_path):
+    """Whitespace-separated name columns ('CCO ethanol') are the standard
+    .smi convention; parsing now matches data/zinc.py::load_smiles_file
+    exactly (round-3 review finding: names were kept in the SMILES and
+    crashed strict encoding)."""
+    from molvax.cli import _read_smiles_lines
+
+    p = tmp_path / "named.smi"
+    p.write_text("canonical_smiles\nCCO ethanol\nc1ccccc1 benzene,x\n")
+    assert _read_smiles_lines(str(p)) == ["CCO", "c1ccccc1"]

@@ -275,3 +275,41 @@ def test_digit_reuse_roundtrip():
     assert parse_smiles(s)[0], parse_smiles(s)[1]
     ok, closed = _validate([s])
     assert ok[0].all() and closed[0], s
+
+
+def test_trailing_dot_never_accepted():
+    """Parser 'trailing dot' rule mirrored: validate_codes must not accept
+    a string ending in '.', pad is illegal right after '.', and '.' is
+    illegal in the final slot (round-3 review finding). DEFAULT_CHARSET
+    has no '.', so a dot-bearing charset is built explicitly (the rule
+    matters for .h5/corpus-derived charsets with multi-fragment rows)."""
+    import jax.numpy as jnp
+
+    from molvax.data import encode_smiles
+    from molvax.data.charset import Charset
+    from molvax.latent import constrain as cn
+
+    cs = Charset.from_list(list(DEFAULT_CHARSET.chars) + ["."])
+    T = 24
+    codes = jnp.asarray(
+        encode_smiles(["CCO.", "CC.CC"], charset=cs, max_len=T)
+    )
+    _, closed = cn.validate_codes(codes, cs, T)
+    assert not bool(closed[0]) and bool(closed[1])
+
+    tb = cn.build_tables(cs)
+    st = cn.init_state(1, T)
+    for ch in "CCO.":
+        idx = cs.chars.index(ch)
+        st = cn.advance(tb, st, jnp.array([idx], jnp.int32))
+    m = cn.step_mask_rem(tb, st, jnp.int32(T - 5))
+    pad_idx = cs.chars.index(" ")
+    assert not bool(m[0, pad_idx])  # only a chain may follow the dot
+
+    st2 = cn.init_state(1, T)
+    for ch in "CC":
+        idx = cs.chars.index(ch)
+        st2 = cn.advance(tb, st2, jnp.array([idx], jnp.int32))
+    m2 = cn.step_mask_rem(tb, st2, jnp.int32(0))  # final slot
+    dot_idx = cs.chars.index(".")
+    assert not bool(m2[0, dot_idx])

@@ -130,3 +130,31 @@ def test_export_h5_roundtrip(tmp_path):
     # every exported row decodes to a string from the source set
     src = set(decode_codes(ds.codes, ds.charset))
     assert set(decode_codes(back.codes, back.charset)) <= src
+
+
+def test_batch_iterator_rejects_empty_dataset():
+    from molvax.data.charset import DEFAULT_CHARSET
+    from molvax.data.pipeline import BatchIterator
+    from molvax.data.zinc import Dataset
+
+    empty = Dataset(np.zeros((0, 16), np.uint8), DEFAULT_CHARSET)
+    with pytest.raises(ValueError, match="empty corpus"):
+        BatchIterator(empty, batch_size=4)
+
+
+def test_split_never_floors_holdout_to_zero():
+    from molvax.data import synthetic_dataset
+
+    ds = synthetic_dataset(16, max_len=48, seed=0)
+    train, test = ds.split(test_fraction=0.05)
+    assert len(test) >= 1 and len(train) + len(test) == 16
+
+
+def test_smiles_file_name_column(tmp_path):
+    # conventional .smi rows carry a name after whitespace
+    p = tmp_path / "named.smi"
+    p.write_text("smiles name\nCCO ethanol\nc1ccccc1 benzene\n")
+    from molvax.data.zinc import load_smiles_file
+
+    ds = load_smiles_file(str(p), max_len=48)
+    assert len(ds) == 2

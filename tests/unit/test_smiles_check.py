@@ -82,3 +82,11 @@ def test_ring_bond_order_agreement():
 def test_fraction():
     assert chem_valid_fraction(["CCO", "bogus(", "c1ccccc1"]) == pytest.approx(2 / 3)
     assert chem_valid_fraction([]) == 0.0
+
+
+def test_trailing_dot_rejected():
+    # OpenSMILES requires a chain after '.' — review finding round 3
+    for s in ("CCO.", "C.", "CC.CC."):
+        ok, why = parse_smiles(s)
+        assert not ok and why == "trailing dot", (s, why)
+    assert chem_valid("CC.CC")
