@@ -78,8 +78,8 @@ def _gate(gi, gh, h, Hp):
     return n + z * (h - n)
 
 
-def _make_kernel(L: int, T: int, C: int, greedy: bool, temperature: float):
-    def kernel(seed_ref, start_ref, giz1_ref, wc_ref, *refs):
+def _make_kernel(L: int, T: int, C: int, greedy: bool):
+    def kernel(seed_ref, temp_ref, start_ref, giz1_ref, wc_ref, *refs):
         # refs: w_hh_1, b_hh_1, (w_ih_l, b_ih_l, w_hh_l, b_hh_l) for
         #       l=2..L, w_out, b_out, codes_ref (out)
         w_hh1, b_hh1 = refs[0], refs[1]
@@ -143,7 +143,9 @@ def _make_kernel(L: int, T: int, C: int, greedy: bool, temperature: float):
                 )
                 u = (i24.astype(jnp.float32) + 1.0) * (1.0 / (1 << 24))
                 gumbel = -jnp.log(-jnp.log(u))
-                logits = logits / temperature + gumbel
+                # temperature is a traced SMEM scalar (not baked into the
+                # kernel) so sweeping it never recompiles the decode loop
+                logits = logits / temp_ref[0] + gumbel
             code = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             codes_ref[t, :] = code
             prev_new = (lane_c == code[:, None]).astype(jnp.float32)
@@ -157,9 +159,7 @@ def _make_kernel(L: int, T: int, C: int, greedy: bool, temperature: float):
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "greedy", "temperature")
-)
+@functools.partial(jax.jit, static_argnames=("cfg", "greedy"))
 def fused_generate(
     dec_params,
     cfg: ModelConfig,
@@ -218,8 +218,12 @@ def fused_generate(
         0,
         Cp,
     )[None, :]
-    args = [seed, start_p, giz1, wc, whh1, bhh1, *rest, w_out, b_out]
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [
+    temp = jnp.reshape(jnp.asarray(temperature, jnp.float32), (1,))
+    args = [seed, temp, start_p, giz1, wc, whh1, bhh1, *rest, w_out, b_out]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ] + [
         pl.BlockSpec(
             ((b_blk, Gp) if a is giz1 else a.shape),
             functools.partial(
@@ -228,10 +232,10 @@ def fused_generate(
             ),
             memory_space=pltpu.VMEM,
         )
-        for a in args[1:]
+        for a in args[2:]
     ]
     codes_tb = pl.pallas_call(
-        _make_kernel(L, T, C, greedy, temperature),
+        _make_kernel(L, T, C, greedy),
         grid=(B // b_blk,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(

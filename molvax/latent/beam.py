@@ -75,6 +75,35 @@ def beam_generate(
             params, dataclasses.replace(cfg, use_pallas_generation=False),
             z, greedy=True, constrained=constrained, charset=charset,
         )
+        if constrained:
+            # renormalize over the LEGAL tokens, matching the
+            # autoregressive branch's mask-then-log_softmax (review
+            # finding: raw-softmax scores included illegal tokens' mass
+            # and were not comparable across decoder_conditioning modes).
+            # One automaton replay over the chosen codes rebuilds the
+            # per-step masks.
+            from .constrain import (
+                advance as con_adv,
+                build_tables,
+                init_state as con_init,
+                step_mask_rem,
+            )
+
+            tb = build_tables(charset)
+
+            def msk(st, inp):
+                t, tok_t = inp
+                m = step_mask_rem(tb, st, T - 1 - t)
+                return con_adv(tb, st, tok_t), m
+
+            _, masks_t = jax.lax.scan(
+                msk,
+                con_init(B, T),
+                (jnp.arange(T), jnp.swapaxes(codes, 0, 1)),
+            )
+            logits = jnp.where(
+                jnp.swapaxes(masks_t, 0, 1), logits, _NEG
+            )
         logp = jax.nn.log_softmax(logits, axis=-1)
         best = jnp.sum(
             jnp.take_along_axis(logp, codes[..., None], axis=-1)[..., 0],

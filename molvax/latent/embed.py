@@ -38,6 +38,55 @@ def _pad_rows(x: np.ndarray, batch: int) -> Tuple[np.ndarray, int]:
     return x, n
 
 
+def encode_codes_chunked(
+    params,
+    cfg: ModelConfig,
+    codes,
+    batch: int = 512,
+    mesh=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Chunked posterior encode with fixed-shape padding: every device call
+    hits ONE jitted executable (the tail chunk pads up and slices back).
+    Returns (mu, logvar) float32 of shape (N, latent_dim); empty input
+    returns empty (0, L) arrays instead of a numpy concatenate error.
+
+    The single shared helper behind `encode_corpus`,
+    `sample.fit_aggregate_posterior`, and
+    `evaluate.posterior_prior_metrics` (round-3 review finding: three
+    divergent copies of the same chunk-and-pad loop)."""
+    from ..nn.vae import encode as vae_encode
+
+    codes = np.asarray(codes)
+    if codes.shape[0] == 0:
+        L = cfg.latent_dim
+        return np.zeros((0, L), np.float32), np.zeros((0, L), np.float32)
+    codes, n = _pad_rows(codes, batch)
+    if mesh is not None:
+        from ..parallel import batch_sharding, replicate
+        from .sample import mesh_safe_cfg
+
+        cfg = mesh_safe_cfg(cfg)
+        if batch % mesh.shape["data"]:
+            raise ValueError(
+                f"batch {batch} not divisible by mesh data axis "
+                f"{mesh.shape['data']}"
+            )
+        params = replicate(mesh, params)
+        sh = batch_sharding(mesh)
+        put = lambda c: jax.device_put(c, sh)  # noqa: E731
+    else:
+        put = jnp.asarray
+    mus, logvars = [], []
+    for lo in range(0, codes.shape[0], batch):
+        mu, logvar = vae_encode(params, cfg, put(codes[lo : lo + batch]))
+        mus.append(np.asarray(mu, np.float32))
+        logvars.append(np.asarray(logvar, np.float32))
+    return (
+        np.concatenate(mus, axis=0)[:n],
+        np.concatenate(logvars, axis=0)[:n],
+    )
+
+
 def encode_corpus(
     params,
     cfg: ModelConfig,
@@ -54,32 +103,8 @@ def encode_corpus(
     ``mesh`` shards each chunk over the mesh's 'data' axis (GSPMD
     data-parallel encoding; ``batch`` must divide by it).
     """
-    from ..nn.vae import encode as vae_encode
-
-    codes = np.asarray(encode_smiles(smiles, charset, cfg.max_len))
-    codes, n = _pad_rows(codes, batch)
-    if mesh is not None:
-        from ..parallel import batch_sharding, replicate
-
-        if batch % mesh.shape["data"]:
-            raise ValueError(
-                f"batch {batch} not divisible by mesh data axis "
-                f"{mesh.shape['data']}"
-            )
-        params = replicate(mesh, params)
-        sh = batch_sharding(mesh)
-        put = lambda c: jax.device_put(c, sh)
-    else:
-        put = jnp.asarray
-    mus, logvars = [], []
-    for lo in range(0, codes.shape[0], batch):
-        mu, logvar = vae_encode(params, cfg, put(codes[lo : lo + batch]))
-        mus.append(np.asarray(mu, np.float32))
-        logvars.append(np.asarray(logvar, np.float32))
-    return (
-        np.concatenate(mus, axis=0)[:n],
-        np.concatenate(logvars, axis=0)[:n],
-    )
+    codes = encode_smiles(smiles, charset, cfg.max_len)
+    return encode_codes_chunked(params, cfg, codes, batch=batch, mesh=mesh)
 
 
 def decode_latents(
@@ -116,6 +141,9 @@ def decode_latents(
     if mesh is not None:
         # replicate the params once, not per chunk
         from ..parallel import batch_sharding, replicate
+        from .sample import mesh_safe_cfg
+
+        cfg = mesh_safe_cfg(cfg)
 
         if batch % mesh.shape["data"]:
             raise ValueError(

@@ -31,7 +31,7 @@ Array = jax.Array
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "greedy", "temperature", "constrained", "charset"),
+    static_argnames=("cfg", "greedy", "constrained", "charset"),
 )
 def generate(
     params,
@@ -202,6 +202,25 @@ def generate(
     return jnp.swapaxes(codes_t, 0, 1), jnp.swapaxes(logits_t, 0, 1)
 
 
+def mesh_safe_cfg(cfg: ModelConfig) -> ModelConfig:
+    """Route mesh-parallel workloads to the XLA paths: Pallas kernels are
+    single-device Mosaic programs and GSPMD cannot partition a pallas_call,
+    so sharded operands must not reach the fused generation/automaton/
+    encoder kernels (review finding round 3). Numerics are identical by
+    construction (every kernel has an XLA twin); mesh throughput comes
+    from the data axis, not the single-chip dispatch wins the kernels buy."""
+    import dataclasses
+
+    if cfg.use_pallas or cfg.use_pallas_generation or cfg.use_pallas_automaton:
+        return dataclasses.replace(
+            cfg,
+            use_pallas=False,
+            use_pallas_generation=False,
+            use_pallas_automaton=False,
+        )
+    return cfg
+
+
 def _shard_for_mesh(mesh, params, z):
     """Place (params, z) for GSPMD data-parallel decoding: params
     replicated, the latent batch split along the 'data' axis. The jitted
@@ -237,6 +256,7 @@ def sample_prior(
     k_z, k_gen = jax.random.split(key)
     z = scale * jax.random.normal(k_z, (n, cfg.latent_dim), jnp.float32)
     if mesh is not None:
+        cfg = mesh_safe_cfg(cfg)
         params, z = _shard_for_mesh(mesh, params, z)
     codes, _ = generate(
         params, cfg, z, k_gen, greedy=greedy, temperature=temperature,
@@ -269,24 +289,14 @@ def fit_aggregate_posterior(
     """
     import numpy as np
 
-    from ..nn.vae import encode as vae_encode
+    from .embed import encode_codes_chunked
 
     n = min(codes.shape[0], max_n)
-    mus, vars_ = [], []
-    for lo in range(0, n, batch):
-        # pad the tail chunk up to `batch` (wrapping rows past the cap
-        # would violate max_n; a ragged tail would force a fresh compile)
-        chunk = np.asarray(codes[lo : min(lo + batch, n)])
-        true_len = chunk.shape[0]
-        if true_len < batch:
-            chunk = np.concatenate(
-                [chunk, np.repeat(chunk[:1], batch - true_len, axis=0)], axis=0
-            )
-        mu, logvar = vae_encode(params, cfg, jnp.asarray(chunk))
-        mus.append(np.asarray(mu, np.float64)[:true_len])
-        vars_.append(np.asarray(jnp.exp(logvar), np.float64)[:true_len])
-    mu_all = np.concatenate(mus, axis=0)
-    var_mean = np.concatenate(vars_, axis=0).mean(axis=0)
+    mu_all, logvar_all = encode_codes_chunked(
+        params, cfg, np.asarray(codes)[:n], batch=batch
+    )
+    mu_all = mu_all.astype(np.float64)
+    var_mean = np.exp(logvar_all.astype(np.float64)).mean(axis=0)
     mean = mu_all.mean(axis=0)
     cov = np.cov(mu_all.T) + np.diag(cfg.eps_scale**2 * var_mean)
     # jitter keeps the factorization stable when some dims are collapsed
@@ -313,6 +323,7 @@ def sample_aggregate(
     eps = jax.random.normal(k_z, (n, cfg.latent_dim), jnp.float32)
     z = mean[None, :] + eps @ chol.T
     if mesh is not None:
+        cfg = mesh_safe_cfg(cfg)
         params, z = _shard_for_mesh(mesh, params, z)
     codes, _ = generate(
         params, cfg, z, k_gen, greedy=greedy, temperature=temperature,

@@ -98,6 +98,12 @@ def generation_metrics(
     `novelty_reference`)."""
     if charset is None:
         charset = train_dataset.charset if train_dataset is not None else DEFAULT_CHARSET
+    if charset.size != cfg.model.charset_size:
+        raise ValueError(
+            f"charset size {charset.size} != model charset_size "
+            f"{cfg.model.charset_size}: pass the training charset (the "
+            "DEFAULT_CHARSET fallback cannot decode a larger model's codes)"
+        )
     if train_set is None and train_dataset is not None:
         train_set = novelty_reference(train_dataset)
     k_z, k_g = jax.random.split(key)
@@ -311,16 +317,14 @@ def posterior_prior_metrics(
                        large = prior samples land off the posterior manifold
                        and `fit_aggregate_posterior` sampling is advised.
     """
-    mus, vars_ = [], []
-    for lo in range(0, min(len(dataset), n), 512):
-        mu, logvar = vae.encode(
-            params, cfg.model, jnp.asarray(dataset.codes[lo : lo + 512])
-        )
-        mus.append(np.asarray(mu, np.float64))
-        vars_.append(np.asarray(jnp.exp(logvar), np.float64))
-    mu_all = np.concatenate(mus, axis=0)
-    var_z = mu_all.var(axis=0) + cfg.model.eps_scale**2 * np.concatenate(
-        vars_, axis=0
+    from ..latent.embed import encode_codes_chunked
+
+    mu_all, logvar_all = encode_codes_chunked(
+        params, cfg.model, dataset.codes[: min(len(dataset), n)], batch=512
+    )
+    mu_all = mu_all.astype(np.float64)
+    var_z = mu_all.var(axis=0) + cfg.model.eps_scale**2 * np.exp(
+        logvar_all.astype(np.float64)
     ).mean(axis=0)
     mean = mu_all.mean(axis=0)
     std = np.sqrt(var_z)
@@ -384,6 +388,7 @@ def optimization_metrics(
     property_index: int = 0,
     charset: Optional[Charset] = None,
     constrained: bool = False,
+    variants=None,
 ) -> Dict[str, float]:
     """The ChemVAE headline loop, closed offline (SURVEY.md 2.10/2.11,
     BASELINE.json:11): encode molecules -> gradient-ascend the property
@@ -414,34 +419,40 @@ def optimization_metrics(
         params, cfg.model, mu, objective=objective, steps=steps, lr=lr
     )
     k1, k2 = jax.random.split(key)
-    seed_codes, _ = generate(
-        params, cfg.model, mu, k1, greedy=True,
-        constrained=constrained, charset=charset,
-    )
-    opt_codes, _ = generate(
-        params, cfg.model, result.z, k2, greedy=True,
-        constrained=constrained, charset=charset,
-    )
-    seed_smiles = decode_codes(seed_codes, charset)
-    opt_smiles = decode_codes(opt_codes, charset)
-    lifts = []
-    chem_ok = 0
-    for s0, s1 in zip(seed_smiles, opt_smiles):
-        p1 = properties_of(s1)
-        if p1 is not None:
-            chem_ok += 1
-        p0 = properties_of(s0)
-        if p0 is not None and p1 is not None:
-            lifts.append(p1[property_index] - p0[property_index])
-    pre = "opt_con_" if constrained else "opt_"
-    return {
-        pre + "pred_lift": float(
-            jnp.mean(result.objective - result.objective_start)
-        ),
-        pre + "real_lift": float(np.mean(lifts)) if lifts else 0.0,
-        pre + "chem_valid": chem_ok / max(len(opt_smiles), 1),
-        pre + "pairs": float(len(lifts)),
-    }
+    pred_lift = float(jnp.mean(result.objective - result.objective_start))
+    out: Dict[str, float] = {}
+    # the 100-step optimization above is the expensive part and is shared:
+    # each variant only re-DECODES the same latents (review finding round
+    # 3 — evaluate() previously re-ran the whole optimization to add the
+    # constrained decode)
+    for con in variants if variants is not None else (constrained,):
+        seed_codes, _ = generate(
+            params, cfg.model, mu, k1, greedy=True,
+            constrained=con, charset=charset,
+        )
+        opt_codes, _ = generate(
+            params, cfg.model, result.z, k2, greedy=True,
+            constrained=con, charset=charset,
+        )
+        seed_smiles = decode_codes(seed_codes, charset)
+        opt_smiles = decode_codes(opt_codes, charset)
+        lifts = []
+        chem_ok = 0
+        for s0, s1 in zip(seed_smiles, opt_smiles):
+            p1 = properties_of(s1)
+            if p1 is not None:
+                chem_ok += 1
+            p0 = properties_of(s0)
+            if p0 is not None and p1 is not None:
+                lifts.append(p1[property_index] - p0[property_index])
+        pre = "opt_con_" if con else "opt_"
+        out.update({
+            pre + "pred_lift": pred_lift,
+            pre + "real_lift": float(np.mean(lifts)) if lifts else 0.0,
+            pre + "chem_valid": chem_ok / max(len(opt_smiles), 1),
+            pre + "pairs": float(len(lifts)),
+        })
+    return out
 
 
 def temperature_sweep(
@@ -552,14 +563,11 @@ def evaluate(
         )
     if cfg.model.n_properties > 0 and "property_head" in state.params:
         metrics.update(
-            optimization_metrics(state.params, cfg, dataset, k6)
-        )
-        if constrained:
-            metrics.update(
-                optimization_metrics(
-                    state.params, cfg, dataset, k6, constrained=True
-                )
+            optimization_metrics(
+                state.params, cfg, dataset, k6,
+                variants=(False, True) if constrained else (False,),
             )
+        )
     if sweep_temperatures:
         metrics.update(
             temperature_sweep(
