@@ -113,6 +113,17 @@ def _graft(template, saved):
             f"current state template {tuple(t_shape)}: the checkpoint was "
             "saved from an incompatible model/optimizer config"
         )
+    # dtype must agree too (review finding round 3): a float64/int64 leaf
+    # grafted into a float32 template would silently poison the optimizer
+    # state / force recompiles downstream instead of failing here
+    t_dtype = getattr(template, "dtype", None)
+    s_dtype = getattr(saved, "dtype", None)
+    if t_dtype is not None and s_dtype is not None and t_dtype != s_dtype:
+        raise ValueError(
+            f"checkpoint leaf dtype {s_dtype} does not match the current "
+            f"state template {t_dtype}: the checkpoint was saved from an "
+            "incompatible config"
+        )
     return saved
 
 

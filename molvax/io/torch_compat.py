@@ -78,6 +78,16 @@ def from_torch_state_dict(sd: Dict[str, Any], cfg: ModelConfig) -> Params:
             "hidden": lin("prop_hidden"),
             "out": lin("prop_out"),
         }
+    # learned start token (beyond-reference, learned_start=True presets):
+    # reference state_dicts won't carry it, but a molvax->torch->molvax
+    # round-trip must not silently drop a trained parameter (review
+    # finding round 3)
+    if "start_token" in sd:
+        params["decoder"]["start_token"] = _t(sd["start_token"])
+    elif cfg.learned_start:
+        params["decoder"]["start_token"] = jnp.zeros(
+            (cfg.charset_size,), jnp.float32
+        )
     return params
 
 
@@ -109,4 +119,6 @@ def to_torch_state_dict(params: Params) -> Dict[str, np.ndarray]:
     if "property_head" in params:
         lin("prop_hidden", params["property_head"]["hidden"])
         lin("prop_out", params["property_head"]["out"])
+    if params["decoder"].get("start_token") is not None:
+        out["start_token"] = np.asarray(params["decoder"]["start_token"]).copy()
     return out

@@ -39,8 +39,9 @@ def _cadence_crossed(every: int, prev_step: int, now_step: int) -> bool:
 
     The fused chunk trainer advances `chunk` steps per host iteration; eval
     and checkpoint actions can only run at chunk boundaries, so they fire
-    exactly once per crossed cadence window (never skipped, never doubled)
-    regardless of whether ``every`` divides the chunk size."""
+    AT MOST once per host iteration: exactly once per crossed window when
+    ``every >= chunk``, and once per chunk (not per window) when ``every``
+    is smaller than the chunk — train() warns loudly about that config."""
     return every > 0 and now_step // every > prev_step // every
 
 
@@ -139,59 +140,13 @@ def init_state(cfg: Config, key: Optional[Array] = None) -> TrainState:
     )
 
 
-def make_train_step(cfg: Config):
-    """Build the jitted train step: (state, codes, props?) -> (state, metrics)."""
+def _make_one_step(cfg: Config, optimizer):
+    """THE optimizer-step body: key derivation, schedules, loss, grad,
+    update. Single source shared by make_train_step and make_train_chunk
+    (review finding round 3: two verbatim copies had to be edited in
+    lockstep), so chunked and unchunked training are the same program by
+    construction."""
     mcfg = cfg.model
-    optimizer = make_optimizer(cfg)
-
-    def train_step(
-        state: TrainState, codes: Array, props: Optional[Array]
-    ) -> Tuple[TrainState, Dict[str, Array]]:
-        step_key = jax.random.fold_in(state.base_key, state.step)
-        beta = beta_at(cfg.train.kl, state.step)
-        ss = (
-            ss_prob_at(cfg.train, state.step)
-            if cfg.train.scheduled_sampling > 0
-            else None
-        )
-        wd = cfg.train.word_dropout if cfg.train.word_dropout > 0 else None
-
-        def loss_fn(params):
-            out = vae.forward(params, mcfg, step_key, codes, ss_prob=ss, wd_prob=wd)
-            return vae_loss(
-                mcfg,
-                out.logits,
-                codes.astype(jnp.int32),
-                out.mu,
-                out.logvar,
-                beta,
-                properties_pred=out.properties,
-                properties_true=props,
-                property_loss_weight=cfg.train.property_loss_weight,
-                kl=out.kl,
-                kl_free_bits=cfg.train.kl.free_bits,
-            )
-
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params, opt_state, state.step + 1, state.base_key)
-        return new_state, metrics
-
-    return jax.jit(train_step, donate_argnums=(0,))
-
-
-def make_train_chunk(cfg: Config, chunk: int):
-    """Fused multi-step trainer: ONE compiled program runs `chunk` optimizer
-    steps via lax.scan over a stacked batch (chunk, B, T).
-
-    Rationale: host->device dispatch has fixed per-call latency (severe on
-    remote PJRT tunnels like this dev box's axon link; nonzero everywhere).
-    Scanning K steps inside one program amortizes it K-fold and lets XLA
-    keep params/optimizer state pinned without host round-trips. Metrics
-    come back stacked (chunk, ...) so logging granularity is preserved."""
-    mcfg = cfg.model
-    optimizer = make_optimizer(cfg)
 
     def one_step(state: TrainState, batch):
         codes, props = batch
@@ -225,10 +180,35 @@ def make_train_chunk(cfg: Config, chunk: int):
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1, state.base_key), metrics
 
+    return one_step
+
+
+def make_train_step(cfg: Config):
+    """Build the jitted train step: (state, codes, props?) -> (state, metrics)."""
+    one_step = _make_one_step(cfg, make_optimizer(cfg))
+
+    def train_step(
+        state: TrainState, codes: Array, props: Optional[Array]
+    ) -> Tuple[TrainState, Dict[str, Array]]:
+        return one_step(state, (codes, props))
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_train_chunk(cfg: Config, chunk: int):
+    """Fused multi-step trainer: ONE compiled program runs `chunk` optimizer
+    steps via lax.scan over a stacked batch (chunk, B, T).
+
+    Rationale: host->device dispatch has fixed per-call latency (severe on
+    remote PJRT tunnels like this dev box's axon link; nonzero everywhere).
+    Scanning K steps inside one program amortizes it K-fold and lets XLA
+    keep params/optimizer state pinned without host round-trips. Metrics
+    come back stacked (chunk, ...) so logging granularity is preserved."""
+    one_step = _make_one_step(cfg, make_optimizer(cfg))
+
     def train_chunk(state: TrainState, codes_stack, props_stack):
         # codes_stack: (chunk, B, T); props_stack: (chunk, B, P) or None
-        batches = (codes_stack, props_stack)
-        return jax.lax.scan(one_step, state, batches)
+        return jax.lax.scan(one_step, state, (codes_stack, props_stack))
 
     return jax.jit(train_chunk, donate_argnums=(0,))
 
@@ -300,6 +280,16 @@ def train(
             use = 1
             while use * 2 <= n_dev and cfg.train.batch_size % (use * 2) == 0:
                 use *= 2
+            if want > 1:
+                import sys as _sys
+
+                print(
+                    f"[molvax] configured mesh {cfg.mesh.data_axis}x"
+                    f"{cfg.mesh.model_axis} unusable here (devices={n_dev}, "
+                    f"batch={cfg.train.batch_size}); using an auto {use}-device "
+                    "data mesh",
+                    file=_sys.stderr,
+                )
             mesh = meshlib.make_mesh(devices=jax.devices()[:use])
 
     it = BatchIterator(
@@ -350,7 +340,12 @@ def train(
 
     eval_step = None
     eval_it = None
-    if cfg.train.eval_every and eval_dataset is not None and len(eval_dataset) > 0:
+    if (
+        cfg.train.eval_every
+        and cfg.train.eval_batches > 0
+        and eval_dataset is not None
+        and len(eval_dataset) > 0
+    ):
         eval_step = make_eval_step(cfg)
         eval_it = BatchIterator(
             eval_dataset,
@@ -361,6 +356,18 @@ def train(
         )
 
     chunk = max(1, cfg.train.train_chunk_size)
+    if chunk > 1:
+        for _name, _every in (
+            ("eval_every", cfg.train.eval_every),
+            ("checkpoint_every", cfg.train.checkpoint_every),
+        ):
+            if _every and _every < chunk:
+                print(
+                    f"[molvax] {_name}={_every} < train_chunk_size={chunk}: "
+                    "actions fire at chunk boundaries, at most once per "
+                    "chunk (raise the cadence or shrink the chunk)",
+                    file=sys.stderr,
+                )
     train_chunk = make_train_chunk(cfg, chunk) if chunk > 1 else None
     stacked_sh = meshlib.stacked_batch_sharding(mesh)
 
@@ -398,6 +405,13 @@ def train(
         # resume: replay the deterministic shuffle so the data order matches
         # an uninterrupted run (one batch consumed per optimizer step)
         it.fast_forward(step_now)
+        if eval_it is not None:
+            # the eval stream consumes eval_batches per crossed cadence
+            # window; replay those too so a resumed run's eval batches match
+            # the uninterrupted run's (review finding round 3)
+            eval_it.fast_forward(
+                (step_now // cfg.train.eval_every) * cfg.train.eval_batches
+            )
     try:
         while step_now < total_steps:
             prev_step = step_now

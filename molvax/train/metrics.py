@@ -41,6 +41,12 @@ class MetricsLogger:
                 for k in ("loss", "recon", "kl", "beta", "acc")
                 if k in host
             )
+            if not brief:  # e.g. eval_-prefixed dicts: print them all
+                brief = " ".join(
+                    f"{k}={v:.4g}"
+                    for k, v in sorted(host.items())
+                    if k not in ("step", "wall_s")
+                )
             print(f"[molvax] step {step}: {brief}", file=self._stream)
         return host
 

@@ -211,3 +211,25 @@ def test_jax_to_torch_direction():
             torch.from_numpy(np.asarray(one_hot(jnp.asarray(codes), cfg.charset_size)))
         )
     np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(), atol=ATOL, rtol=RTOL)
+
+
+def test_start_token_roundtrip():
+    """learned_start models must survive molvax -> torch -> molvax without
+    silently dropping the trained start vector (round-3 review finding)."""
+    import dataclasses
+
+    from molvax.io.torch_compat import from_torch_state_dict
+
+    cfg = dataclasses.replace(make_cfg(), learned_start=True)
+    params = vae.init_vae_params(jax.random.key(7), cfg)
+    # give the start token a recognizable value
+    params["decoder"]["start_token"] = jnp.arange(
+        cfg.charset_size, dtype=jnp.float32
+    )
+    sd = to_torch_state_dict(params)
+    assert "start_token" in sd
+    back = from_torch_state_dict(sd, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(back["decoder"]["start_token"]),
+        np.asarray(params["decoder"]["start_token"]),
+    )
