@@ -394,11 +394,16 @@ def cmd_export_data(args) -> int:
         max_len=cfg.data.max_len,
         synthetic_n=cfg.data.n_synthetic,
         seed=cfg.data.seed,
+        with_properties=args.properties,
+        property_source=cfg.data.property_source,
     )
     export_h5(dataset, args.out, test_fraction=cfg.data.test_fraction,
               seed=cfg.data.seed)
+    props = "" if dataset.properties is None else (
+        f", properties {dataset.properties.shape[1]}"
+    )
     print(f"wrote {args.out}: {len(dataset)} molecules, "
-          f"charset {dataset.charset.size}")
+          f"charset {dataset.charset.size}{props}")
     return 0
 
 
@@ -592,6 +597,13 @@ def main(argv=None) -> int:
     )
     common(sp)
     sp.add_argument("--out", required=True, help="output .h5 path")
+    sp.add_argument(
+        "--properties",
+        action="store_true",
+        help="compute logP/QED/SAS targets once and store them in the .h5 "
+        "(properties_train/test; training loads them instead of re-running "
+        "the descriptor pass)",
+    )
     sp.set_defaults(fn=cmd_export_data)
 
     sp = sub.add_parser("presets", help="list named presets")

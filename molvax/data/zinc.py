@@ -65,7 +65,10 @@ class Dataset:
 def load_h5(path: str, key: str = "data_train") -> Dataset:
     """Load a chemvae-style .h5 export. The file stores (N, 120, C) one-hot;
     we immediately collapse to uint8 codes (argmax over C) - the inverse is
-    exact because rows are one-hot."""
+    exact because rows are one-hot. A ``properties_<split>`` dataset (this
+    repo's export extension) restores precomputed property targets, so the
+    minutes-scale descriptor pass over a MOSES-sized corpus runs once at
+    export time, not on every training run."""
     import h5py
 
     with h5py.File(path, "r") as f:
@@ -77,14 +80,18 @@ def load_h5(path: str, key: str = "data_train") -> Dataset:
         step = max(1, (1 << 26) // max(1, data.shape[1] * data.shape[2]))
         for i in range(0, n, step):
             codes[i : i + step] = np.argmax(data[i : i + step], axis=-1)
-    return Dataset(codes=codes, charset=charset)
+        prop_key = key.replace("data_", "properties_")
+        props = np.asarray(f[prop_key][:], np.float32) if prop_key in f else None
+    return Dataset(codes=codes, charset=charset, properties=props)
 
 
 def export_h5(dataset: Dataset, path: str, test_fraction: float = 0.1, seed: int = 0) -> None:
     """Write a chemvae-format .h5 (data_train / data_test one-hot float32 +
     charset), byte-compatible with the reference's expected export
     (SURVEY.md 2.8, 3.5) - molvax datasets round-trip into the original
-    PyTorch tooling."""
+    PyTorch tooling. Property targets, when the dataset carries them, are
+    written as ``properties_train``/``properties_test`` (an additive
+    extension: readers that only know the reference keys ignore them)."""
     import h5py
 
     train, test = dataset.split(test_fraction, seed)
@@ -95,6 +102,13 @@ def export_h5(dataset: Dataset, path: str, test_fraction: float = 0.1, seed: int
         f.create_dataset(
             "charset", data=np.array([c.encode() for c in dataset.charset.chars])
         )
+        if dataset.properties is not None:
+            f.create_dataset(
+                "properties_train", data=np.asarray(train.properties, np.float32)
+            )
+            f.create_dataset(
+                "properties_test", data=np.asarray(test.properties, np.float32)
+            )
 
 
 def load_smiles_file(

@@ -158,3 +158,25 @@ def test_smiles_file_name_column(tmp_path):
 
     ds = load_smiles_file(str(p), max_len=48)
     assert len(ds) == 2
+
+
+def test_h5_property_roundtrip(tmp_path):
+    """Property targets persist through the .h5 interchange (additive
+    properties_train/test datasets), so corpus-scale descriptor passes run
+    once at export time."""
+    from molvax.data import synthetic_dataset
+    from molvax.data.zinc import export_h5, load_h5
+
+    ds = synthetic_dataset(40, max_len=48, seed=0, with_properties=True)
+    assert ds.properties is not None
+    p = tmp_path / "with_props.h5"
+    export_h5(ds, str(p), test_fraction=0.25, seed=0)
+    tr = load_h5(str(p), "data_train")
+    te = load_h5(str(p), "data_test")
+    assert tr.properties is not None and te.properties is not None
+    assert tr.properties.shape == (len(tr), ds.properties.shape[1])
+    assert te.properties.shape == (len(te), ds.properties.shape[1])
+    # rows pair with their codes: re-split the source and compare
+    train_src, test_src = ds.split(0.25, 0)
+    np.testing.assert_allclose(tr.properties, train_src.properties, rtol=1e-6)
+    np.testing.assert_allclose(te.properties, test_src.properties, rtol=1e-6)
