@@ -98,9 +98,12 @@ def generation_metrics(
     `novelty_reference`)."""
     if charset is None:
         charset = train_dataset.charset if train_dataset is not None else DEFAULT_CHARSET
-    if charset.size != cfg.model.charset_size:
+    if charset.size < cfg.model.charset_size:
+        # a smaller decode table than the model's code range would index
+        # out of bounds deep in featurize; a LARGER table is safe (tiny
+        # test models emit codes < charset_size <= table size)
         raise ValueError(
-            f"charset size {charset.size} != model charset_size "
+            f"charset size {charset.size} < model charset_size "
             f"{cfg.model.charset_size}: pass the training charset (the "
             "DEFAULT_CHARSET fallback cannot decode a larger model's codes)"
         )
