@@ -1,14 +1,23 @@
-"""Pallas TPU kernel: fused constrained-decoding automaton step.
+"""Pallas TPU kernel: fused constrained-decoding automaton step (OPT-IN).
 
-The valence automaton (latent/constrain.py) is pure elementwise/reduction
-VPU work, but as plain XLA inside the generation `lax.scan` it lowers to a
-few hundred small HLO ops per decode step; at T=120 steps those fixed
-per-op costs dominate the whole constrained decode (measured round 3:
-7.0k constrained vs 94.9k unconstrained SMILES/s at B=256 — the GRU step
-itself is ~22 us, the automaton ~280 us). This kernel fuses ONE WHOLE
-automaton step — legality mask (`step_mask_rem`) + masked token selection
-+ state transition (`advance`) — into a single Mosaic program, so the
-automaton costs one kernel launch per step instead of the op-count tax.
+STATUS — measured SLOWER than the XLA path it was built to replace; kept
+opt-in (`model.use_pallas_automaton`, default False) as a validated
+alternative. History: the automaton first measured 7.0k constrained vs
+94.9k unconstrained SMILES/s at B=256 (~280 us of small-HLO op-count tax
+per ~22 us GRU step), motivating this kernel. The Mosaic-safety rewrites
+it forced on constrain.py — sort/gather → one-hot histogram contractions,
+bool-select → i1 logic, mask folded into int operands before minor-dim
+insertion — turned out to fix the XLA path itself: re-measured 2026-08-18,
+XLA constrained decode runs **74.0k SMILES/s** (79% of unconstrained, the
+op-count tax gone), while this kernel measures 5.7k — its ~0.5 MB/row of
+one-hot contraction intermediates serialize on the VPU inside one Mosaic
+program, where XLA instead fuses them across the step. The kernel remains
+the exact-agreement proof that constrain.py is Mosaic-compilable
+(`bench.tpu_validation` gates kernel-vs-XLA agreement == 1.0 on hardware).
+
+This kernel fuses ONE WHOLE automaton step — legality mask
+(`step_mask_rem`) + masked token selection + state transition (`advance`)
+— into a single Mosaic program.
 
 Single source of truth: the kernel body CALLS the same `step_mask_rem` /
 `advance` functions the XLA fallback uses (constrain.py is written
@@ -46,6 +55,7 @@ from ..latent.constrain import (
     build_tables,
     step_mask_rem,
 )
+from .tpu_info import vmem_capacity_bytes, vmem_limit as _vmem_limit
 
 Array = jax.Array
 
@@ -163,7 +173,15 @@ def _auto_kernel(
 
 
 def _batch_block(B: int) -> int:
-    return 128 if B % 128 == 0 else B
+    """Batch rows per grid step. The automaton's intermediates (one-hot
+    contractions over DMAX/NRING slots) measure ~61 MB of Mosaic stack at
+    128 rows (~0.5 MB/row); halve the block until it fits 60% of VMEM so
+    small-VMEM chips still compile (ADVICE r2: no baked-in dev-chip budget)."""
+    blk = 128 if B % 128 == 0 else B
+    budget = int(vmem_capacity_bytes() * 0.6)
+    while blk > 8 and blk % 2 == 0 and blk * 500_000 > budget:
+        blk //= 2
+    return blk
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -201,6 +219,7 @@ def auto_step_pallas(itab: Array, packed, scores: Array, rem: Array, n: int):
             *[jax.ShapeDtypeStruct(x.shape, x.dtype) for x in packed],
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(jnp.reshape(rem, (1,)).astype(jnp.int32), itab, *packed, scores)
     return tuple(out[:-1]), out[-1][:, 0]

@@ -292,7 +292,12 @@ def _hist(mask: Array, res: Array) -> Array:
     compare+sum (no jnp.stack: concatenation on the minor dim is a Mosaic
     relayout; the compare form fuses)."""
     cv = _iota((1,) * res.ndim + (4,), res.ndim) + 1  # costs 1..4
-    eq = mask[..., None] & (res[..., None] == cv)
+    # fold the mask into res BEFORE the minor-dim insertion: res >= 1 always,
+    # so masked-off slots (res -> 0) never match a cost in 1..4. Mosaic
+    # rejects minor-dim insertion on i1 vectors ("only supported for 32-bit
+    # types"), so the [..., None] must happen on the int32 operand only.
+    resm = jnp.where(mask, res, 0)
+    eq = resm[..., None] == cv
     return jnp.sum(eq.astype(jnp.int32), axis=-2)
 
 
@@ -482,7 +487,15 @@ def step_mask_rem(tb: Tables, st: ConState, rem: Array) -> Array:
     # token -> slot selection as a static (NRING, C) one-hot contraction
     # (dig > 0 excludes non-digit tokens; slot 0 is never a digit's slot)
     dig_sel = (_iota((NRING, tb.n), 0) == dig[None, :]) & (dig[None, :] > 0)
-    ok_digit = jnp.any(slot_ok[:, :, None] & dig_sel[None, :, :], axis=1)
+    # minor-dim insertion on the int32 copy (Mosaic rejects it on i1)
+    ok_digit = (
+        jnp.sum(
+            slot_ok.astype(jnp.int32)[:, :, None]
+            * dig_sel.astype(jnp.int32)[None, :, :],
+            axis=1,
+        )
+        > 0
+    )
 
     # --- '(' / ')' / '.' --------------------------------------------------
     k_cur = _credit(h_prev, ndir_prev, vprev, r)
@@ -594,8 +607,11 @@ def step_mask_rem(tb: Tables, st: ConState, rem: Array) -> Array:
         | ok_bh | ok_plus | ok_minus | ok_bdig_h | ok_bdig_c | ok_rbr
         | ok_pad
     )
-    # done rows: only pad
-    mask = jnp.where(st.done[:, None], tb.is_pad[None, :], mask)
+    # done rows: only pad. Written as i1 logic, not jnp.where: Mosaic lowers
+    # a bool-valued vector select through an i8 round-trip and rejects the
+    # i8->i1 truncation ("Unsupported target bitwidth for truncation").
+    d = st.done[:, None]
+    mask = (d & tb.is_pad[None, :]) | (~d & mask)
     # defense in depth: if a row has no legal token (unreachable by the
     # invariants above), open the pad escape hatch; advance() records it.
     any_ok = jnp.any(mask, axis=1)
@@ -647,7 +663,7 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     n_atoms = st.n_atoms + do_atom.astype(jnp.int32)
     prev = jnp.where(do_atom, st.n_atoms, st.prev)
     pend = jnp.where(do_atom, 0, st.pend)
-    fresh = jnp.where(do_atom, False, st.fresh)
+    fresh = st.fresh & ~do_atom  # i1 logic: Mosaic rejects bool selects
     hfix = jnp.where(
         do_atom & t_cu, 1,
         jnp.where(do_atom & t_bu, 2, 0),
@@ -707,14 +723,14 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
         oh_sp & do_open[:, None], st.prev[:, None], st.stack
     )
     sp = st.sp + do_open.astype(jnp.int32)
-    fresh = jnp.where(do_open, True, fresh)
+    fresh = fresh | do_open
 
     do_close = outside & t_close
     oh_top = _iota((1, DMAX), 1) == jnp.clip(st.sp - 1, 0, DMAX - 1)[:, None]
     top = jnp.sum(jnp.where(oh_top, st.stack, 0), axis=1)
     prev = jnp.where(do_close, top, prev)
     sp = jnp.where(do_close, st.sp - 1, sp)
-    fresh = jnp.where(do_close, False, fresh)
+    fresh = fresh & ~do_close
 
     do_dot = outside & t_dot
     prev = jnp.where(do_dot, -1, prev)
@@ -727,8 +743,8 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     do_sym = inb & (st.b == 1) & is_atom
     b = jnp.where(do_sym, 2, b)
     bbud = jnp.where(do_sym, g_tok, st.bbud)
-    bsymc = jnp.where(do_sym, t_cu, st.bsymc & ~do_sym)
-    bsymb = jnp.where(do_sym, t_bu, st.bsymb & ~do_sym)
+    bsymc = (do_sym & t_cu) | (~do_sym & st.bsymc)
+    bsymb = (do_sym & t_bu) | (~do_sym & st.bsymb)
     # Cl/Br inside bracket
     do_bhal = inb & (st.b == 2) & (
         (t_l & st.bsymc) | (t_r & st.bsymb)
@@ -768,7 +784,7 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     n_atoms = n_atoms + do_rbr.astype(jnp.int32)
     prev = jnp.where(do_rbr, st.n_atoms, prev)
     pend = jnp.where(do_rbr, 0, pend)
-    fresh = jnp.where(do_rbr, False, fresh)
+    fresh = fresh & ~do_rbr
     b = jnp.where(do_rbr, 0, b)
     bh = jnp.where(do_rbr, 0, bh)
     bchg = jnp.where(do_rbr, 0, bchg)
