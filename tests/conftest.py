@@ -35,9 +35,9 @@ import pytest  # noqa: E402
 
 def pytest_collection_modifyitems(config, items):
     """Tier the suite: everything not explicitly @pytest.mark.slow gets
-    `quick`, so `pytest -m quick` is the fast iteration lane (~2.5 min on the
-    dev box) and the full (unfiltered) run is unchanged (VERDICT r1 weak
-    8)."""
+    `quick`, so `pytest -m quick` is the fast iteration lane (~4.6 min on the
+    dev box, 210 tests as of round 3; slow lane ~24 min) and the full
+    (unfiltered) run is unchanged (VERDICT r1 weak 8)."""
     for item in items:
         if "slow" not in item.keywords:
             item.add_marker(pytest.mark.quick)
