@@ -48,6 +48,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..latent.constrain import (
+    DMAX,
+    NRING,
     ConState,
     Tables,
     _iota,
@@ -172,16 +174,44 @@ def _auto_kernel(
     ocode_ref[:] = code[:, None]
 
 
-def _batch_block(B: int) -> int:
-    """Batch rows per grid step. The automaton's intermediates (one-hot
-    contractions over DMAX/NRING slots) measure ~61 MB of Mosaic stack at
-    128 rows (~0.5 MB/row); halve the block until it fits 60% of VMEM so
-    small-VMEM chips still compile (ADVICE r2: no baked-in dev-chip budget)."""
-    blk = 128 if B % 128 == 0 else B
+def _row_bytes(A: int, C: int) -> int:
+    """Per-row Mosaic stack estimate for one automaton step.
+
+    Calibration: ~0.5 MB/row measured at the dev shapes (A=120, C=37,
+    NRING=10, DMAX=16), dominated by the (NRING, A)/(DMAX, A)/(NRING,
+    NRING)/(NRING, C)-shaped one-hot contraction intermediates of
+    `step_mask_rem`, each tiled to 8 sublanes x 128 lanes. The measured
+    constant is scaled by the tiled contraction surface so growth in any
+    of NRING/DMAX/A/C re-provisions the block instead of silently
+    under-estimating (ADVICE r3)."""
+
+    def tiled(sub: int, lane: int) -> int:
+        return -(-sub // 8) * 8 * -(-lane // 128) * 128
+
+    surf = (
+        tiled(NRING, A) + tiled(DMAX, A) + tiled(NRING, NRING)
+        + tiled(NRING, C)
+    )
+    cal = (
+        tiled(10, 120) + tiled(16, 120) + tiled(10, 10) + tiled(10, 37)
+    )
+    return int(500_000 * surf / cal)
+
+
+def _batch_block(B: int, A: int, C: int) -> int:
+    """Batch rows per grid step: the largest divisor of B (capped at 128)
+    whose estimated Mosaic stack fits 60% of VMEM, so small-VMEM chips
+    still compile (ADVICE r2/r3: shape-derived, works for any B — odd
+    batches fall back through smaller divisors instead of over-budget)."""
     budget = int(vmem_capacity_bytes() * 0.6)
-    while blk > 8 and blk % 2 == 0 and blk * 500_000 > budget:
-        blk //= 2
-    return blk
+    row = _row_bytes(A, C)
+    divisors = sorted(
+        (d for d in range(1, B + 1) if B % d == 0), reverse=True
+    )
+    for d in divisors:
+        if d <= 128 and d * row <= budget:
+            return d
+    return divisors[-1]
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -192,7 +222,7 @@ def auto_step_pallas(itab: Array, packed, scores: Array, rem: Array, n: int):
     (tokens remaining after this one). Runs in interpret mode off-TPU so
     tests exercise the identical program on CPU."""
     B, C = scores.shape
-    b_blk = _batch_block(B)
+    b_blk = _batch_block(B, packed[0].shape[1], C)
     grid = (B // b_blk,)
 
     def bspec(x):
