@@ -99,24 +99,34 @@ def mosaic_loop(itab, packed, scores, n: int, T: int, b_blk: int):
     )(itab, *packed, scores)
 
 
-@functools.partial(jax.jit, static_argnames=("T",))
-def xla_scan(tb, st0, scores, T: int):
-    def step(st, t):
-        st, code = select_advance(tb, st, scores, T - 1 - t)
-        return st, code
+def make_xla_scan(tb, T: int):
+    # tb (Tables, not a pytree) is closed over as jit constants — same
+    # structure the generation scan uses (sample.py builds tb statically)
+    @jax.jit
+    def run(st0, scores):
+        def step(st, t):
+            st, code = select_advance(tb, st, scores, T - 1 - t)
+            return st, code
 
-    _, codes = jax.lax.scan(step, st0, jnp.arange(T))
-    return codes
+        _, codes = jax.lax.scan(step, st0, jnp.arange(T))
+        return codes
+
+    return run
 
 
-def _time(fn, rounds=12):
+def _time(fn, rounds=5, calls=24):
+    """bench.py step_timer methodology: `calls` dispatches per timed round,
+    ONE host fetch at the end to drain the chain — amortizes the axon
+    tunnel's per-fetch round-trip, which otherwise dominates a single-call
+    timing (~30 ms RTT vs sub-ms device work)."""
     fn()  # compile
     ts = []
     for _ in range(rounds):
         t0 = time.perf_counter()
-        out = fn()
-        float(np.asarray(out).sum())  # host fetch: tunnel-honest timing
-        ts.append(time.perf_counter() - t0)
+        for _ in range(calls):
+            out = fn()
+        int(np.asarray(out)[0, 0])  # drain
+        ts.append((time.perf_counter() - t0) / calls)
     return float(np.median(ts[1:]))
 
 
@@ -131,7 +141,8 @@ def main(B: int = 256, T: int = 120):
     itab = pack_tables(tb)
     b_blk = _batch_block(B, T, C)
 
-    t_xla = _time(lambda: xla_scan(tb, st0, scores, T))
+    xla_run = make_xla_scan(tb, T)
+    t_xla = _time(lambda: xla_run(st0, scores))
     print(f"xla_scan:    {t_xla*1e3:8.3f} ms total  "
           f"{t_xla/T*1e6:7.2f} us/step  (B={B})")
     t_mos = _time(lambda: mosaic_loop(itab, packed, scores, C, T, b_blk))
