@@ -21,8 +21,28 @@ import time
 import numpy as np
 
 
-def measure_torch_cpu(codes: np.ndarray, charset_size: int, batch: int = 64, steps: int = 3) -> float:
-    """Reference twin: fp32 CPU, Adam, teacher-forced CE ELBO."""
+def measure_torch_cpu(
+    codes: np.ndarray,
+    charset_size: int,
+    batch: int = 64,
+    steps: int = 3,
+    rounds: int = 5,
+) -> float:
+    """Reference twin: fp32 CPU, Adam, teacher-forced CE ELBO.
+
+    Denominator protocol (VERDICT r3 next 7 — this number anchors the
+    headline multiplier, so it must stop moving between documents):
+    after one warmup step, time `rounds` independent rounds of `steps`
+    optimizer steps each and report the **median per-round rate**. A
+    single 3-step timing moved 40% with background CPU load across round-3
+    docs (20.0 / ~27 / 20–26 in BENCH_r03 / PERFORMANCE.md / PARITY.md);
+    the median-of-rounds is the load-robust statistic every doc now
+    quotes. Pinned reference value: **23 SMILES/s** (idle-box trials of
+    this protocol measured 22.3/22.9/24.6, 2026-08-19; loaded boxes have
+    measured as low as 20). Docs quote the pinned 23 and state the idle
+    spread; bench.py reports its own in-run measurement alongside
+    (`torch_cpu_smiles_per_sec`) so load-induced drift is visible rather
+    than silently moving the headline multiplier."""
     import torch
 
     from bench.torch_twin.model import MolecularVAETwin, vae_loss_twin
@@ -44,11 +64,13 @@ def measure_torch_cpu(codes: np.ndarray, charset_size: int, batch: int = 64, ste
         opt.step()
 
     one_step(0)  # warmup
-    t0 = time.perf_counter()
-    for i in range(1, steps + 1):
-        one_step(i)
-    dt = time.perf_counter() - t0
-    return batch * steps / dt
+    rates = []
+    for r in range(rounds):
+        t0 = time.perf_counter()
+        for i in range(1, steps + 1):
+            one_step(r * steps + i)
+        rates.append(batch * steps / (time.perf_counter() - t0))
+    return float(np.median(rates))
 
 
 def measure_molvax(
@@ -321,6 +343,10 @@ def main():
                 "value": round(molvax_sps, 1),
                 "unit": "SMILES/sec/chip",
                 "vs_baseline": round(molvax_sps / torch_sps, 2),
+                # in-run denominator (median-of-5-rounds; pinned idle-box
+                # value 23 — see measure_torch_cpu) so load drift is visible
+                "torch_cpu_smiles_per_sec": round(torch_sps, 1),
+                "vs_baseline_pinned23": round(molvax_sps / 23.0, 2),
                 "mfu": round(util["mfu"], 4),
                 "tflops_sustained": round(util["tflops_sustained"], 2),
                 "flops_per_smiles": util["flops_per_smiles"],

@@ -130,6 +130,55 @@ def _time(fn, rounds=5, calls=24):
     return float(np.median(ts[1:]))
 
 
+def _floor_kernel(x_ref, o_ref, *, T: int, k_ops: int, chains: int):
+    """Per step: `k_ops` int32 VPU ops on x's shape, split across
+    `chains` independent dependency chains (so the VPU can pipeline).
+    Measures the native-op floor for a hypothetical automaton rewrite
+    whose per-step work is `k_ops` ops of this shape."""
+    xs = [x_ref[:] + i for i in range(chains)]
+
+    def step(t, xs):
+        ys = list(xs)
+        for i in range(k_ops):
+            c = i % chains
+            ys[c] = jnp.where(ys[c] > t, ys[c] - 1, ys[c] + 1)
+        return tuple(ys)
+
+    out = jax.lax.fori_loop(0, T, step, tuple(xs))
+    o_ref[:] = sum(out)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "k_ops", "chains"))
+def floor_loop(x, T: int, k_ops: int, chains: int = 4):
+    return pl.pallas_call(
+        functools.partial(_floor_kernel, T=T, k_ops=k_ops, chains=chains),
+        in_specs=[pl.BlockSpec(x.shape, lambda: (0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(x.shape, lambda: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
+        interpret=jax.default_backend() != "tpu",
+    )(x)
+
+
+def floor_probe(T: int = 120):
+    """ns per native (sublane, lane)-shaped int32 VPU op inside a Mosaic
+    fori_loop, for the two layouts an automaton rewrite could use:
+    batch-in-sublanes (128, 16) and batch-in-lanes (16, 128). The where(
+    compare)+add pair counts as 2 logical ops; cost per logical op =
+    step_us / k_ops. Differencing two k_ops settings cancels loop
+    overhead."""
+    for shape in ((128, 16), (16, 128)):
+        x = jnp.ones(shape, jnp.int32)
+        lo, hi = 64, 256
+        t_lo = _time(lambda: floor_loop(x, T, lo))
+        t_hi = _time(lambda: floor_loop(x, T, hi))
+        ns = (t_hi - t_lo) / T / (hi - lo) * 1e9
+        print(
+            f"floor {shape}: {ns:6.2f} ns/op "
+            f"(k={lo}: {t_lo/T*1e6:6.2f} us/step, k={hi}: {t_hi/T*1e6:6.2f})"
+        )
+
+
 def main(B: int = 256, T: int = 120):
     charset = DEFAULT_CHARSET
     tb = build_tables(charset)
@@ -158,4 +207,7 @@ def main(B: int = 256, T: int = 120):
 if __name__ == "__main__":
     import sys
 
-    main(*(int(a) for a in sys.argv[1:]))
+    if "--floor" in sys.argv:
+        floor_probe()
+    else:
+        main(*(int(a) for a in sys.argv[1:]))

@@ -194,6 +194,15 @@ def run_fused3():
 def main():
     from molvax.utils import enable_persistent_cache
 
+    # batch override for the per-batch roofline (VERDICT r3 next 5:
+    # B=64 has a single sub-128-row block — no independent chains to
+    # pipeline — and needs its own serial-chain floor measurement)
+    global B, B_BLK
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if args:
+        B = int(args[0])
+        B_BLK = min(128, B)
+
     enable_persistent_cache()
     assert jax.default_backend() == "tpu", "experiments need the TPU"
     print(f"config: B={B} T={T} Hp={Hp} L={L} K={K} b_blk={B_BLK}", file=sys.stderr)

@@ -15,7 +15,12 @@ agg_valid >= 0.95 with the aggregate sampler documented as the preset's
 sampling path).
 
     python -m bench.quality_ablation [--steps 16000] [--corpus 250000] \
-        [--eps 0.01 0.1 0.3]
+        [--eps 0.01 0.1 0.3] [--insample]
+
+Evaluation runs on a 5% HELD-OUT split by default (reconstruction/teacher-
+forced metrics on unseen molecules; novelty and the aggregate-posterior fit
+on the training split); ``--insample`` restores the historical in-sample
+report for continuity comparisons only.
 """
 
 from __future__ import annotations
@@ -31,7 +36,7 @@ def run_one(
     steps: int,
     corpus: int,
     free_bits: float = 0.1,
-    holdout: bool = False,
+    holdout: bool = True,
     source: str = "synthetic",
     seed: int = 0,
 ):
@@ -117,7 +122,10 @@ def main(argv):
     eps_list = [0.01, 0.1, 0.3]
     seeds = [0]
     source = "synthetic"
-    holdout = "--holdout" in argv
+    # held-out evaluation is the DEFAULT (VERDICT r3 next 2: no quality
+    # number may be split-ambiguous); --insample opts into the historical
+    # in-sample report for continuity comparisons only
+    holdout = "--insample" not in argv
     if "--steps" in argv:
         steps = int(argv[argv.index("--steps") + 1])
     if "--corpus" in argv:
