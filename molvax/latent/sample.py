@@ -142,6 +142,11 @@ def generate(
 
     z_emb = latent_embed(dec, cfg, z)
 
+    # Constrained decode stays on the XLA scan BY MEASUREMENT, not omission:
+    # stepping the automaton inside the fused kernel's VMEM loop costs
+    # 291 us/step in Mosaic vs a 2.8 us/step budget, and its measured
+    # native-op floor alone is 27-53x over budget (bench.auto_loop_probe;
+    # docs/PERFORMANCE.md "Constrained-decode roofline").
     if cfg.use_pallas_generation and not constrained:
         from ..kernels.generate import fused_generate, generation_kernel_supported
 
