@@ -30,6 +30,37 @@ assert jax.default_backend() == "cpu", (
     "a plugin initialized a backend before tests/conftest.py ran"
 )
 
+
+def _enable_test_compile_cache():
+    """Persistent XLA compile cache for the suite: most test wall time is
+    re-compiling the same tiny programs every run (measured 3.3x on
+    tests/unit/test_loss.py warm vs cold). XLA:CPU cache entries embed the
+    compiling host's CPU features (molvax.utils.enable_persistent_cache
+    doc), so the directory is keyed by a hash of the host CPU signature +
+    jax version — a different machine gets a fresh cache instead of
+    poisoned replays."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            sig = "".join(
+                ln for ln in f if ln.startswith(("flags", "model name"))
+            )[:4096]
+    except OSError:
+        import platform
+
+        sig = platform.processor() or platform.machine()
+    key = hashlib.md5((sig + jax.__version__).encode()).hexdigest()[:12]
+    cache_dir = f"/tmp/molvax_test_cache_{key}"
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # subprocess-based tests (preemption, CLI) opt in via this env var
+    os.environ["MOLVAX_TEST_COMPILE_CACHE"] = cache_dir
+
+
+_enable_test_compile_cache()
+
 import pytest  # noqa: E402
 
 

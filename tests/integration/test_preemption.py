@@ -14,8 +14,14 @@ import time
 import pytest
 
 SCRIPT = """
+import os
 import jax
 jax.config.update("jax_platforms", "cpu")
+_cc = os.environ.get("MOLVAX_TEST_COMPILE_CACHE")
+if _cc:  # share the suite's persistent compile cache (conftest.py)
+    jax.config.update("jax_compilation_cache_dir", _cc)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 import sys
 from molvax.config import Config, DataConfig, ModelConfig, TrainConfig
 from molvax.data import synthetic_dataset

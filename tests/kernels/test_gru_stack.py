@@ -33,7 +33,10 @@ RTOL = 5e-2
         (16, 12, 10, 130, 3),  # single time block (K=12)
         (16, 14, 9, 130, 2),  # K=2 -> 7 blocks: cross-block carries + hbound
         (32, 10, 8, 501, 3),  # reference width: per-gate lane padding
-        (128, 12, 10, 130, 2),  # b_blk=128 -> P=8 deep interleave (all chains)
+        # P=8 deep interleave (128 rows) is covered by
+        # test_wavefront_grads_match[128-4], whose forward pass runs this
+        # same kernel — a second 128-row interpret-mode sweep here cost 68 s
+        # for no extra coverage (round-4 suite budget)
     ],
 )
 def test_wavefront_matches_reference(B, T, I, H, L):
