@@ -47,13 +47,18 @@ from molvax.kernels.tpu_info import vmem_limit as _vmem_limit
 from molvax.latent.constrain import build_tables, init_state
 
 
-def _loop_kernel(itab_ref, *refs, n: int, T: int):
-    # refs: N_ARR state arrays + sc, scores, ocodes (field-count agnostic)
-    from molvax.kernels.automaton import N_ARR
-
+def _loop_kernel(
+    itab_ref,
+    val_ref, par_ref, stack_ref, rpart_ref, rhint_ref, rres_ref,
+    ppa_ref, ppb_ref, sc_ref, scores_ref,
+    ocodes_ref,
+    *, n: int, T: int,
+):
     tb = _tables_from(itab_ref[:], n)
-    packed0 = tuple(r[:] for r in refs[: N_ARR + 1])
-    scores_ref, ocodes_ref = refs[N_ARR + 1], refs[N_ARR + 2]
+    packed0 = (
+        val_ref[:], par_ref[:], stack_ref[:], rpart_ref[:], rhint_ref[:],
+        rres_ref[:], ppa_ref[:], ppb_ref[:], sc_ref[:],
+    )
     scores = scores_ref[:]
 
     def step(t, packed):

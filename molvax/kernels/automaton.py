@@ -33,10 +33,9 @@ identical formula, so kernel vs fallback agree exactly (integer state,
 same float compare).
 
 Layout: the automaton's 17 per-row scalars pack into one (B, SC) int32
-array so the scan carry is len(_ARR_FIELDS)+1 arrays instead of one per
-field; tables pack into one (18, C) int32 array. Grid is over batch
-blocks (each row is independent); all state + intermediates live in VMEM
-(~5 MB at b_blk=128).
+array so the scan carry is 9 arrays instead of 26; tables pack into one
+(18, C) int32 array. Grid is over batch blocks (each row is independent);
+all state + intermediates live in VMEM (~5 MB at b_blk=128).
 """
 
 from __future__ import annotations
@@ -70,13 +69,8 @@ _SC_FIELDS = (
 )
 SC = len(_SC_FIELDS)
 _BOOL_FIELDS = frozenset(("fresh", "done", "esc", "bsymc", "bsymb"))
-# array-valued state fields, in packed-tuple order (incl. the round-4
-# derived views and the keyed pair pool — see constrain.ConState)
-_ARR_FIELDS = (
-    "val", "par", "stack", "rpart", "rhint", "rres", "ppk",
-    "stk_vals", "vpart", "par_part",
-)
-N_ARR = len(_ARR_FIELDS)
+# array-valued state fields, in packed-tuple order
+_ARR_FIELDS = ("val", "par", "stack", "rpart", "rhint", "rres", "ppa", "ppb")
 # packed-table row order (ints first, then bool flags as 0/1)
 _TAB_ROWS = (
     "atom_budget", "bond_order", "digit_val",
@@ -106,7 +100,7 @@ def _tables_from(it: Array, n: int) -> Tables:
 
 
 def pack_state(st: ConState):
-    """ConState -> (_ARR_FIELDS arrays..., sc) with sc the packed scalars."""
+    """ConState -> (val, par, stack, rpart, rhint, rres, ppa, ppb, sc)."""
     sc = jnp.stack(
         [getattr(st, f).astype(jnp.int32) for f in _SC_FIELDS], axis=1
     )  # (B, SC)
@@ -154,20 +148,30 @@ def auto_step_ref(tb: Tables, packed, scores: Array, rem: Array):
     return pack_state(st2), code
 
 
-def _auto_kernel(rem_ref, itab_ref, *refs, n: int):
-    # refs: N_ARR state arrays + sc + scores, then the same state arrays
-    # + sc as outputs + the code output (field-count agnostic)
+def _auto_kernel(
+    rem_ref, itab_ref,
+    val_ref, par_ref, stack_ref, rpart_ref, rhint_ref, rres_ref,
+    ppa_ref, ppb_ref, sc_ref, scores_ref,
+    oval_ref, opar_ref, ostack_ref, orpart_ref, orhint_ref, orres_ref,
+    oppa_ref, oppb_ref, osc_ref, ocode_ref,
+    *, n: int,
+):
     tb = _tables_from(itab_ref[:], n)
-    packed = tuple(r[:] for r in refs[: N_ARR + 1])
-    scores_ref = refs[N_ARR + 1]
-    out_refs = refs[N_ARR + 2 :]
+    packed = (
+        val_ref[:], par_ref[:], stack_ref[:], rpart_ref[:], rhint_ref[:],
+        rres_ref[:], ppa_ref[:], ppb_ref[:], sc_ref[:],
+    )
     st2, code = select_advance(
         tb, unpack_state(packed), scores_ref[:], rem_ref[0]
     )
     out = pack_state(st2)
-    for ref, arr in zip(out_refs[:-1], out):
+    for ref, arr in zip(
+        (oval_ref, opar_ref, ostack_ref, orpart_ref, orhint_ref, orres_ref,
+         oppa_ref, oppb_ref, osc_ref),
+        out,
+    ):
         ref[:] = arr
-    out_refs[-1][:] = code[:, None]
+    ocode_ref[:] = code[:, None]
 
 
 def _row_bytes(A: int, C: int) -> int:

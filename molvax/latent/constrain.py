@@ -31,7 +31,7 @@ State tracked per batch row (mirrors `smiles_check._parse`):
   * ring-closure digits: opening atom, bond-order hint, reserved order.
     Digits are REUSABLE after they close (canonical SMILES reuses digit 1
     constantly, e.g. 'c1ccccc1Cc1ccccc1'); closed ring bonds move to a
-    fixed pair pool (``ppk``/``pn``, single int keys, capacity max_len//2 — each
+    fixed pair pool (``ppa``/``ppb``/``pn``, capacity max_len//2 — each
     closure consumes two digit tokens, so the pool cannot overflow)
     against which new closures are duplicate-checked;
   * two-char halogen fixup: 'C'+'l' retroactively becomes chlorine
@@ -146,7 +146,8 @@ class ConState(NamedTuple):
     rpart: Array  # (B, NRING) int32 ring-opening atom, -1 closed/unused
     rhint: Array  # (B, NRING) int32 bond-order hint at open (0 none)
     rres: Array  # (B, NRING) int32 order reserved at open (hint or 1)
-    ppk: Array  # (B, P) int32 closed ring-bond pair key lo*(A+1)+hi, -1 unused
+    ppa: Array  # (B, P) int32 closed ring-bond pair lo atom (-1 unused)
+    ppb: Array  # (B, P) int32 closed ring-bond pair hi atom (-1 unused)
     pn: Array  # (B,) int32 number of pool entries written
     done: Array  # (B,) bool pad emitted
     esc: Array  # (B,) bool escape hatch fired (must stay False)
@@ -159,16 +160,6 @@ class ConState(NamedTuple):
     bsign: Array  # (B,) int32 bracket charge sign (0 unset)
     bsymc: Array  # (B,) bool bracket symbol was 'C' ('l' may follow)
     bsymb: Array  # (B,) bool bracket symbol was 'B' ('r' may follow)
-    # -- derived state, maintained incrementally by `advance` (round 4) ----
-    # step_mask_rem's dominant cost was three (B, K, A) one-hot gathers of
-    # val/par at stack/ring indices, re-done every decode step (~40% of the
-    # automaton's 11.2 MFLOP/step, docs/PERFORMANCE.md roofline). val/par
-    # change at <= 2 known atoms per step, so the gathered views are kept
-    # as state and updated with (B, DMAX)/(B, NRING) broadcasts instead.
-    # Invariants (tests/unit/test_constrain.py::test_derived_state_invariants):
-    stk_vals: Array  # (B, DMAX) int32 == val[stack[d]] wherever stack[d] >= 0
-    vpart: Array  # (B, NRING) int32 == val[rpart[j]] for OPEN slots (else stale)
-    par_part: Array  # (B, NRING) int32 == par[rpart[j]] for OPEN slots (else stale)
 
 
 @functools.lru_cache(maxsize=8)
@@ -229,11 +220,9 @@ def init_state(batch: int, max_atoms: int) -> ConState:
         n_atoms=z(), prev=neg(), pend=z(),
         stack=neg(batch, DMAX), sp=z(), fresh=f(),
         rpart=neg(batch, NRING), rhint=z(batch, NRING), rres=z(batch, NRING),
-        ppk=neg(batch, npair), pn=z(),
+        ppa=neg(batch, npair), ppb=neg(batch, npair), pn=z(),
         done=f(), esc=f(), hfix=z(), horder=z(),
         b=z(), bbud=z(), bh=z(), bchg=z(), bsign=z(), bsymc=f(), bsymb=f(),
-        stk_vals=z(batch, DMAX), vpart=z(batch, NRING),
-        par_part=z(batch, NRING),
     )
 
 
@@ -246,54 +235,53 @@ def _gather_val(val: Array, idx: Array) -> Array:
 
 
 def _anc_spare_max(
-    stk_vals: Array,
+    val: Array,
     stack: Array,
     sp: Array,
     drop_top: bool = False,
     adj_idx: Array = None,
     adj: Array = 0,
+    adj_idx2: Array = None,
+    adj2: Array = 0,
 ):
     """Max remaining budget over stacked ancestor atoms (0 if none).
 
-    ``stk_vals`` is the maintained derived view val[stack[d]] (ConState
-    doc) — the round-3 (B, DMAX, A) one-hot gather is gone. ``adj_idx``/
-    ``adj`` subtract a candidate token's valence consumption from stacked
-    copies of that atom, so the result reflects the POST-token state —
-    essential when ``prev`` is itself on the stack (right after '(' the
-    pushed atom IS the attachment atom, and spending its last unit must
-    zero the ancestor-spare view too)."""
+    ``adj_idx``/``adj`` subtract a candidate token's valence consumption
+    from stacked copies of that atom, so the result reflects the POST-token
+    state — essential when ``prev`` is itself on the stack (right after
+    '(' the pushed atom IS the attachment atom, and spending its last unit
+    must zero the ancestor-spare view too)."""
     depth = _iota((1, DMAX), 1)
     limit = (sp - 1 if drop_top else sp)[:, None]
     live = depth < limit
-    vals = stk_vals
+    oh = stack[:, :, None] == _iota((1, 1, val.shape[1]), 2)
+    vals = jnp.sum(jnp.where(oh, val[:, None, :], 0), axis=2)
     if adj_idx is not None:
         vals = vals - jnp.where(stack == adj_idx[:, None], adj[:, None], 0)
+    if adj_idx2 is not None:
+        vals = vals - jnp.where(stack == adj_idx2[:, None], adj2[:, None], 0)
     return jnp.max(jnp.where(live & (stack >= 0), vals, 0), axis=1)
-
-
-def _pair_key(lo: Array, hi: Array, A: int) -> Array:
-    """Ring-bond pair (lo, hi) -> single int32 key. Any -1 operand yields a
-    negative key, which can never match a pool entry written for real atom
-    indices (0 <= lo <= hi < A)."""
-    return lo * (A + 1) + hi
 
 
 def _dup_wrt(st: ConState, a: Array) -> Array:
     """(B, NRING) bool: closing a ring at atom ``a`` against each slot's
     partner would put a second bond on an already-bonded pair — either a
-    closed ring bond (the pair pool, single-key compare) or the chain bond
-    between ``a`` and its tree parent / the partner and *its* parent (the
-    parser's 'C1C1' duplicate-bond rule; ``st.par_part`` is the maintained
-    derived view). Rows for closed slots are garbage; callers mask with
-    ``open_d``."""
+    closed ring bond (the pair pool) or the chain bond between ``a`` and
+    its tree parent / the partner and *its* parent (the parser's 'C1C1'
+    duplicate-bond rule). Rows for closed slots are garbage; callers mask
+    with ``open_d``."""
     part = st.rpart  # (B, D)
-    A = st.val.shape[1]
-    key = _pair_key(
-        jnp.minimum(part, a[:, None]), jnp.maximum(part, a[:, None]), A
-    )
-    pool = jnp.any(st.ppk[:, None, :] == key[:, :, None], axis=2)  # (B, D)
+    lo = jnp.minimum(part, a[:, None])
+    hi = jnp.maximum(part, a[:, None])
+    pool = jnp.any(
+        (st.ppa[:, None, :] == lo[:, :, None])
+        & (st.ppb[:, None, :] == hi[:, :, None]),
+        axis=2,
+    )  # (B, D)
     par_a = _gather_val(st.par, a)  # (B,) parent of a
-    chain = (part == par_a[:, None]) | (st.par_part == a[:, None])
+    oh = part[:, :, None] == _iota((1, 1, st.par.shape[1]), 2)
+    par_part = jnp.sum(jnp.where(oh, st.par[:, None, :], 0), axis=2)  # (B, D)
+    chain = (part == par_a[:, None]) | (par_part == a[:, None])
     return pool | chain
 
 
@@ -352,7 +340,7 @@ def step_mask_rem(tb: Tables, st: ConState, rem: Array) -> Array:
     B = st.prev.shape[0]
     prev_ok = st.prev >= 0
     vprev = _gather_val(st.val, st.prev)
-    anc = _anc_spare_max(st.stk_vals, st.stack, st.sp)
+    anc = _anc_spare_max(st.val, st.stack, st.sp)
     open_d = st.rpart >= 0  # (B, NRING)
     r = jnp.sum(open_d, axis=1)
     o_att = jnp.where(st.pend > 0, st.pend, jnp.where(prev_ok, 1, 0))
@@ -399,7 +387,7 @@ def step_mask_rem(tb: Tables, st: ConState, rem: Array) -> Array:
     g = tb.atom_budget[None, :]  # (1, C)
     v_new = g - o_att[:, None]  # (B, C)
     anc_att = _anc_spare_max(
-        st.stk_vals, st.stack, st.sp, adj_idx=st.prev, adj=o_att
+        st.val, st.stack, st.sp, adj_idx=st.prev, adj=o_att
     )
     t_ok = ~((r[:, None] > 0) & (v_new == 0) & (anc_att[:, None] == 0))
     k_atom = _credit(h_new[:, None, :], ndir_new[:, None], v_new, r[:, None])
@@ -452,17 +440,22 @@ def step_mask_rem(tb: Tables, st: ConState, rem: Array) -> Array:
                       jnp.maximum(hint, 1))
     mismatch = (st.pend[:, None] > 0) & (hint > 0) & (st.pend[:, None] != hint)
     sur = o_fin - jnp.maximum(st.rres, 1)
-    # val at each slot's partner atom: the maintained derived view (stale
-    # for closed slots — every consumer below is masked by `eligible`,
-    # a subset of open_d)
-    vpart = st.vpart  # (B, NRING)
+    oh_part = st.rpart[:, :, None] == _iota((1, 1, st.val.shape[1]), 2)
+    vpart = jnp.sum(
+        jnp.where(oh_part, st.val[:, None, :], 0), axis=2
+    )  # (B, NRING): val at each slot's partner atom (0 when closed)
     eligible = direct_prev  # open, partner != prev, no duplicate pair
     v_pc = vprev[:, None] - o_fin  # (B, NRING)
-    # ancestor spare after closing each digit j: the maintained stack-value
-    # view, per-digit adjustments applied in one broadcast
+    # ancestor spare after closing each digit j: shared stack-value lookup,
+    # per-digit adjustments applied in one broadcast (was a vmap of
+    # _anc_spare_max — NRING redundant stack gathers per step)
+    stk_oh = st.stack[:, :, None] == _iota((1, 1, st.val.shape[1]), 2)
+    stk_vals = jnp.sum(
+        jnp.where(stk_oh, st.val[:, None, :], 0), axis=2
+    )  # (B, DMAX)
     live_anc = (_iota((1, DMAX), 1) < st.sp[:, None]) & (st.stack >= 0)
     vals_j = (
-        st.stk_vals[:, None, :]
+        stk_vals[:, None, :]
         - jnp.where(
             st.stack[:, None, :] == st.prev[:, None, None],
             o_fin[:, :, None], 0,
@@ -517,7 +510,7 @@ def step_mask_rem(tb: Tables, st: ConState, rem: Array) -> Array:
         st.stack, jnp.where(st.sp > 0, st.sp - 1, 0)
     )  # atom index at top of stack
     vpop = _gather_val(st.val, jnp.where(st.sp > 0, popped, -1))
-    anc2 = _anc_spare_max(st.stk_vals, st.stack, st.sp, drop_top=True)
+    anc2 = _anc_spare_max(st.val, st.stack, st.sp, drop_top=True)
     dup_pop = _dup_wrt(st, popped)
     direct_pop = open_d & (st.rpart != popped[:, None]) & ~dup_pop & first_p
     k_pop = _credit(_hist(direct_pop, res), jnp.sum(direct_pop, axis=1), vpop, r)
@@ -631,24 +624,8 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     Mosaic-safe (see step_mask_rem): per-token table attributes come from
     one one-hot contraction instead of (B,)-indexed gathers — TPU gathers
     on tiny tensors serialize on the scalar unit, and Mosaic has no
-    vector-gather at all.
-
-    Derived-state maintenance (round 4): every ``val`` update below has a
-    known (atom-index, delta) pair, so the gathered views ``stk_vals`` /
-    ``vpart`` receive the same delta wherever ``stack``/``rpart`` holds
-    that atom (``_prop``); ``par_part`` only changes when a ring slot
-    opens (``par`` is write-once per atom and ring partners always
-    pre-exist). The new-atom budget writes need no mirror: a just-emitted
-    atom index cannot yet appear in ``stack`` or ``rpart``."""
+    vector-gather at all."""
     B, A = st.val.shape
-
-    def _prop(view, idx_map, at, d):
-        # propagate a val delta d (B,) at atom `at` (B,) into a derived
-        # view (B, K) keyed by idx_map; the at>=0 guard keeps -1 sentinels
-        # (dead stack entries, closed slots) from matching at == -1
-        return view + jnp.where(
-            (idx_map == at[:, None]) & (at >= 0)[:, None], d[:, None], 0
-        )
     oht = _iota((B, tb.n), 1) == tok[:, None]  # (B, C) emitted-token one-hot
 
     def pick_i(table):  # (C,) int32 -> (B,)
@@ -674,17 +651,11 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
 
     oh_prev = (_iota((1, A), 1) == st.prev[:, None]) & prev_ok[:, None]
     oh_new = _iota((1, A), 1) == st.n_atoms[:, None]
-    vprev0 = _gather_val(st.val, st.prev)  # (B,) val at prev, 0 if none
-    par_prev0 = _gather_val(st.par, st.prev)  # (B,) par at prev
-    stk_vals, vpart, par_part = st.stk_vals, st.vpart, st.par_part
 
     # --- atom emission (outside bracket) ---------------------------------
     do_atom = outside & is_atom
-    d_atom = -jnp.where(do_atom, o_att, 0)
-    val = st.val + d_atom[:, None] * oh_prev
+    val = st.val - jnp.where(do_atom, o_att, 0)[:, None] * oh_prev
     val = val + jnp.where(do_atom, g_tok - o_att, 0)[:, None] * oh_new
-    stk_vals = _prop(stk_vals, st.stack, st.prev, d_atom)
-    vpart = _prop(vpart, st.rpart, st.prev, d_atom)
     # tree parent: the chain bond this atom creates (root atoms stay -1)
     par = jnp.where(
         (do_atom & prev_ok)[:, None] & oh_new, st.prev[:, None], st.par
@@ -705,10 +676,7 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     oh_prev2 = _iota((1, A), 1) == prev[:, None]
     oh_cur = _iota((1, A), 1) == jnp.clip(prev, 0, A - 1)[:, None]
     cur_pv = jnp.sum(jnp.where(oh_cur, val, 0), axis=1)
-    d_hal = jnp.where(do_hal, (1 - st.horder) - cur_pv, 0)
-    val = val + d_hal[:, None] * oh_prev2
-    stk_vals = _prop(stk_vals, st.stack, prev, d_hal)
-    vpart = _prop(vpart, st.rpart, prev, d_hal)
+    val = val + jnp.where(do_hal, (1 - st.horder) - cur_pv, 0)[:, None] * oh_prev2
 
     # --- bond -------------------------------------------------------------
     do_bond = outside & (bond_o > 0) & ~do_hal
@@ -727,39 +695,23 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     rpart = jnp.where(oh_slot & is_openr[:, None], st.prev[:, None], st.rpart)
     rhint = jnp.where(oh_slot & is_openr[:, None], st.pend[:, None], st.rhint)
     rres = jnp.where(oh_slot & is_openr[:, None], res_o[:, None], st.rres)
-    d_ropen = -jnp.where(is_openr, res_o, 0)
-    val = val + d_ropen[:, None] * oh_prev
-    stk_vals = _prop(stk_vals, st.stack, st.prev, d_ropen)
-    # propagate against the PRE-step rpart: the opening slot (rpart -1)
-    # receives its explicit post-delta value below instead
-    vpart = _prop(vpart, st.rpart, st.prev, d_ropen)
-    vpart = jnp.where(
-        oh_slot & is_openr[:, None], (vprev0 + d_ropen)[:, None], vpart
-    )
-    par_part = jnp.where(
-        oh_slot & is_openr[:, None], par_prev0[:, None], par_part
-    )
+    val = val - jnp.where(is_openr, res_o, 0)[:, None] * oh_prev
     # close
     slot_hint = jnp.sum(jnp.where(oh_sl, st.rhint, 0), axis=1)
     slot_res = jnp.maximum(jnp.sum(jnp.where(oh_sl, st.rres, 0), axis=1), 1)
     o_fin = jnp.where(st.pend > 0, st.pend, jnp.maximum(slot_hint, 1))
     sur = o_fin - slot_res
-    d_rcl_prev = -jnp.where(is_close, o_fin, 0)
-    val = val + d_rcl_prev[:, None] * oh_prev
+    val = val - jnp.where(is_close, o_fin, 0)[:, None] * oh_prev
     oh_part = _iota((1, A), 1) == slot_part[:, None]
-    d_rcl_part = -jnp.where(is_close, sur, 0)
-    val = val + d_rcl_part[:, None] * oh_part
-    stk_vals = _prop(stk_vals, st.stack, st.prev, d_rcl_prev)
-    stk_vals = _prop(stk_vals, st.stack, slot_part, d_rcl_part)
-    vpart = _prop(vpart, st.rpart, st.prev, d_rcl_prev)
-    vpart = _prop(vpart, st.rpart, slot_part, d_rcl_part)
+    val = val - jnp.where(is_close, sur, 0)[:, None] * oh_part
     # append the closed pair to the pool (duplicate-bond bookkeeping) and
     # free the slot — its digit is reusable, as in canonical SMILES
     lo = jnp.minimum(st.prev, slot_part)
     hi = jnp.maximum(st.prev, slot_part)
-    oh_pn = _iota((1, st.ppk.shape[1]), 1) == st.pn[:, None]
+    oh_pn = _iota((1, st.ppa.shape[1]), 1) == st.pn[:, None]
     wr_pool = oh_pn & is_close[:, None]
-    ppk = jnp.where(wr_pool, _pair_key(lo, hi, A)[:, None], st.ppk)
+    ppa = jnp.where(wr_pool, lo[:, None], st.ppa)
+    ppb = jnp.where(wr_pool, hi[:, None], st.ppb)
     pn = st.pn + is_close.astype(jnp.int32)
     rpart = jnp.where(oh_slot & is_close[:, None], -1, rpart)
     pend = jnp.where(do_dig, 0, pend)
@@ -770,8 +722,6 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     stack = jnp.where(
         oh_sp & do_open[:, None], st.prev[:, None], st.stack
     )
-    # '(' steps change no val entries, so vprev0 is current at push time
-    stk_vals = jnp.where(oh_sp & do_open[:, None], vprev0[:, None], stk_vals)
     sp = st.sp + do_open.astype(jnp.int32)
     fresh = fresh | do_open
 
@@ -826,11 +776,8 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     # close bracket -> emit atom
     do_rbr = inb & t_rbr & (st.b >= 2)
     bud_eff = jnp.maximum(st.bbud + st.bchg - st.bh, 0)
-    d_rbr = -jnp.where(do_rbr, o_att, 0)
-    val = val + d_rbr[:, None] * oh_prev
+    val = val - jnp.where(do_rbr, o_att, 0)[:, None] * oh_prev
     val = val + jnp.where(do_rbr, bud_eff - o_att, 0)[:, None] * oh_new
-    stk_vals = _prop(stk_vals, st.stack, st.prev, d_rbr)
-    vpart = _prop(vpart, st.rpart, st.prev, d_rbr)
     par = jnp.where(
         (do_rbr & (st.prev >= 0))[:, None] & oh_new, st.prev[:, None], par
     )
@@ -860,10 +807,10 @@ def advance(tb: Tables, st: ConState, tok: Array) -> ConState:
     return ConState(
         val=val, par=par, n_atoms=n_atoms, prev=prev, pend=pend,
         stack=stack, sp=sp, fresh=fresh, rpart=rpart, rhint=rhint,
-        rres=rres, ppk=ppk, pn=pn,
+        rres=rres, ppa=ppa, ppb=ppb, pn=pn,
         done=done, esc=esc, hfix=hfix, horder=horder,
         b=b, bbud=bbud, bh=bh, bchg=bchg, bsign=bsign, bsymc=bsymc,
-        bsymb=bsymb, stk_vals=stk_vals, vpart=vpart, par_part=par_part,
+        bsymb=bsymb,
     )
 
 

@@ -262,39 +262,6 @@ def test_duplicate_bond_and_branch_start_rejected():
         assert ok[0].all() and closed[0], s
 
 
-def test_derived_state_invariants():
-    """The incrementally-maintained derived views (ConState.stk_vals /
-    vpart / par_part, round 4) must equal their recomputed definitions
-    after EVERY advance step, over corpus strings exercising branches,
-    rings, brackets, halogen fixups and digit reuse; pool keys must decode
-    to ordered pairs of existing atoms."""
-    smiles = random_smiles(40, seed=11) + REAL_SMILES
-    codes = np.asarray(encode_smiles(smiles, DEFAULT_CHARSET, T))
-    tb = cn.build_tables(DEFAULT_CHARSET)
-    B = codes.shape[0]
-    st = cn.init_state(B, T)
-    adv = jax.jit(lambda s, tok: cn.advance(tb, s, tok))
-    rows = np.arange(B)[:, None]
-    for t in range(T):
-        st = adv(st, jnp.asarray(codes[:, t]))
-        s = jax.tree.map(np.asarray, st)
-        A = s.val.shape[1]
-        # stk_vals tracks val at every written stack entry (live or dead:
-        # deltas broadcast to all copies, pushes overwrite)
-        m = s.stack >= 0
-        r2 = np.broadcast_to(rows, s.stack.shape)
-        assert (s.stk_vals[m] == s.val[r2[m], s.stack[m]]).all(), t
-        op = s.rpart >= 0
-        r3 = np.broadcast_to(rows, s.rpart.shape)
-        assert (s.vpart[op] == s.val[r3[op], s.rpart[op]]).all(), t
-        assert (s.par_part[op] == s.par[r3[op], s.rpart[op]]).all(), t
-        pi = np.arange(s.ppk.shape[1])[None, :] < s.pn[:, None]
-        keys = s.ppk[pi]
-        lo, hi = keys // (A + 1), keys % (A + 1)
-        n_at = np.broadcast_to(s.n_atoms[:, None], s.ppk.shape)[pi]
-        assert (keys >= 0).all() and (lo <= hi).all() and (hi < n_at).all(), t
-
-
 def test_digit_reuse_roundtrip():
     """Closed digits are reusable (canonical SMILES), and the duplicate
     check survives the slot being recycled: reusing digit 1 for a second
