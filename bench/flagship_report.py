@@ -7,7 +7,7 @@ coherent run — replacing BASELINE.md's self-declared-stale row.
 
 Two trained models, JSON-line reports:
 
-  * flagship  — the `zinc250k_quality` recipe (eps_scale=0.03, free_bits
+  * flagship  — the `zinc250k_quality` recipe (preset eps_scale, free_bits
                 0.1, 16k steps, 250k molecules) on `synthetic_chem`:
                 full `evaluate` on the held-out split (teacher-forced,
                 round-trip recon, prior/aggregate/constrained sampling,
@@ -119,6 +119,12 @@ def run_flagship(steps: int, corpus: int, beams=(2, 5, 10)):
     cfg = dataclasses.replace(
         cfg,
         name="flagship_chem",
+        # eps frontier is CORPUS-DEPENDENT: the quality preset's held-out
+        # re-ablation moved its default to 0.02 on the plain corpus, but on
+        # synthetic_chem 0.02 measured 94.1% recon / 15.5% prior chem-valid
+        # vs 0.03's 91.5% / 29.6% (both held-out, 2026-08-19) — chem
+        # validity is this report's criterion, so it pins 0.03
+        model=dataclasses.replace(cfg.model, eps_scale=0.03),
         train=dataclasses.replace(cfg.train, steps=steps, log_every=2000),
         data=dataclasses.replace(
             cfg.data, source="synthetic_chem", n_synthetic=corpus

@@ -241,32 +241,34 @@ def zinc250k_quality() -> Config:
     Round 2 found eps_scale is the decisive knob but left a trade:
     eps=1e-2 gave 96.4% non-pad round-trip at only 85% prior validity
     (the near-deterministic posterior drifts off N(0, I)); full-scale eps
-    gave 99%+ validity but ~9% round-trip. The round-3 ablation
-    (bench/quality_ablation.py, equal 16k-step budget, eps in
-    {0.01, 0.02, 0.03, 0.05, 0.1, 0.3}) shows the frontier crosses at
-    eps_scale=0.03:
+    gave 99%+ validity but ~9% round-trip. The round-4 re-ablation
+    (bench/quality_ablation.py, equal 16k-step budget, 5% HELD-OUT split,
+    post round-3 parser/corpus tightening) moves the frontier to
+    eps_scale=0.02:
 
-        eps    recon_nonpad  prior gen_valid  agg_valid
-        0.01      97.8%          46.9%          94.5%
-        0.02      91.6%          96.3%          99.2%
-        0.03      96.0%          96.0%          98.9%   <- both targets
-        0.05      85.5%          98.4%          99.5%
-        0.3       51.9%          95.6%          96.4%
+        eps    recon_nonpad  prior gen_valid  agg_valid   (held-out)
+        0.01      97.8%          64.9%          92.4%
+        0.02      95.7%          84.3%          96.5%   <- both targets
+        0.03      82.3%          64.6%          84.6%
+        0.05      29.5%          50.0%          66.2%
 
-    At 0.03 the same budget delivers >=95% on BOTH axes (56% exact
-    round-trip strings, 100% unique/novel samples, KL 22.4 nats). For the
-    highest-validity sampling, `molvax sample --aggregate` draws z from
-    the fitted aggregate posterior instead of the prior; `evaluate`'s
-    post_prior_w2 metric quantifies the remaining posterior/prior
-    mismatch. Free bits stay on to keep the KL term meaningful at small
-    eps; the learned start token anchors step 0. `zinc250k` stays the
-    pure teacher-forced production trainer the benchmarks compare
-    against."""
+    (Round 3's in-sample frontier sat at 0.03 with 96/96; the held-out
+    split plus the tightened grammar scoring shifted it — the landscape
+    is seed-noisy near the crossover, so re-ablate rather than trust one
+    point.) At 0.02 the same budget delivers >=95% reconstruction on
+    UNSEEN molecules and >=95% validity via the aggregate-posterior
+    sampler — the preset's documented sampling path: `molvax sample
+    --aggregate` draws z from the fitted aggregate posterior; pure-prior
+    gen_valid is 84.3% and `evaluate`'s post_prior_w2 quantifies the
+    remaining posterior/prior mismatch. Free bits stay on to keep the KL
+    term meaningful at small eps; the learned start token anchors step 0.
+    `zinc250k` stays the pure teacher-forced production trainer the
+    benchmarks compare against."""
     cfg = zinc250k()
     return dataclasses.replace(
         cfg,
         name="zinc250k_quality",
-        model=dataclasses.replace(cfg.model, eps_scale=0.03),
+        model=dataclasses.replace(cfg.model, eps_scale=0.02),
         train=dataclasses.replace(
             cfg.train,
             kl=dataclasses.replace(cfg.train.kl, free_bits=0.1),
