@@ -65,7 +65,16 @@ def _pick_b_blk(B: int) -> int | None:
     divisor of B that is a multiple of the bf16 sublane granule (16). Lets
     the reference config's batch 64 (BASELINE.json:7) and other non-128
     batches run the kernel instead of silently falling back to XLA
-    (VERDICT r1 weak 2). None = unsupported batch (caller falls back)."""
+    (VERDICT r1 weak 2). None = unsupported batch (caller falls back).
+    MOLVAX_GRU_B_BLK overrides for sweeps (e.g. 256-row blocks hosting two
+    interleaved 128-row chains with MOLVAX_GRU_CHAINS=2)."""
+    import os
+
+    forced = os.environ.get("MOLVAX_GRU_B_BLK")
+    if forced:
+        fb = int(forced)
+        if B % fb == 0 and fb % _B_MIN == 0:
+            return fb
     if B % _B_BLK == 0:
         return _B_BLK
     start = (min(B, _B_BLK) // _B_MIN) * _B_MIN  # largest 16-aligned <= B
@@ -428,41 +437,76 @@ gru_layer_scan.defvjp(_vjp_fwd, _vjp_bwd)
 # --------------------------------------------------------------------------
 
 def _fwd_kernel_x(
-    x_ref, wih_ref, bih_ref, whh_ref, bhh_ref, h0_ref, hseq_ref, rzn_ref, ghn_ref, h_scr
+    x_ref, wih_ref, bih_ref, whh_ref, bhh_ref, h0_ref, hseq_ref, rzn_ref,
+    ghn_ref, h_scr, *, n_chains: int,
 ):
     K = x_ref.shape[0]
-    Hp = h0_ref.shape[1]
+    b_blk, Hp = h0_ref.shape
+    P = n_chains
+    R = b_blk // P
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         h_scr[:] = h0_ref[:]
 
-    h = h_scr[:]
-    for k in range(K):
+    rows = lambda c: slice(c * R, (c + 1) * R)
+    h = [h_scr[rows(c)] for c in range(P)]
+
+    def issue(c, k):
         # The x @ W_ih dot has no dependence on the serial chain, so Mosaic
         # prefetches/overlaps it while h @ W_hh waits on the carry — the MXU
         # co-work that made the fused-stack forward fast, brought to the
         # per-layer kernel (measured: 3-layer fwd 5.0 -> 4.2 ms at B=256 vs
         # the hoisted-GEMM variant, bench/proto_gi_kernel.py).
         gi = (
-            jnp.dot(x_ref[k], wih_ref[:], preferred_element_type=jnp.float32)
+            jnp.dot(
+                x_ref[k, rows(c)], wih_ref[:],
+                preferred_element_type=jnp.float32,
+            )
             + bih_ref[:]
         )
         gh = (
             jnp.dot(
-                h.astype(jnp.bfloat16), whh_ref[:], preferred_element_type=jnp.float32
+                h[c].astype(jnp.bfloat16), whh_ref[:],
+                preferred_element_type=jnp.float32,
             )
             + bhh_ref[:]
         )
+        return gi, gh
+
+    def gates(c, k, gi, gh):
         r = jax.nn.sigmoid(gi[:, :Hp] + gh[:, :Hp])
         z = jax.nn.sigmoid(gi[:, Hp : 2 * Hp] + gh[:, Hp : 2 * Hp])
         ghn = gh[:, 2 * Hp :]
         n = jnp.tanh(gi[:, 2 * Hp :] + r * ghn)
-        h = (1.0 - z) * n + z * h
-        hseq_ref[k] = h.astype(jnp.bfloat16)
-        rzn_ref[k] = jnp.concatenate([r, z, n], axis=-1).astype(jnp.bfloat16)
-        ghn_ref[k] = ghn.astype(jnp.bfloat16)
-    h_scr[:] = h
+        h[c] = (1.0 - z) * n + z * h[c]
+        hseq_ref[k, rows(c)] = h[c].astype(jnp.bfloat16)
+        rzn_ref[k, rows(c)] = jnp.concatenate([r, z, n], axis=-1).astype(
+            jnp.bfloat16
+        )
+        ghn_ref[k, rows(c)] = ghn.astype(jnp.bfloat16)
+
+    if P == 1:
+        for k in range(K):
+            gates(0, k, *issue(0, k))
+    else:
+        # Rotating software pipeline (same emit order as _fwd_kernel):
+        # chain c's serial dot issues while chain c-1's gates retire, so P
+        # independent h @ W_hh chains interleave on the MXU.
+        pend = [None] * P
+        for k in range(K):
+            for c in range(P):
+                new = issue(c, k)
+                if c == 0:
+                    if k > 0:
+                        gates(P - 1, k - 1, *pend[P - 1])
+                else:
+                    gates(c - 1, k, *pend[c - 1])
+                pend[c] = new
+        gates(P - 1, K - 1, *pend[P - 1])
+
+    for c in range(P):
+        h_scr[rows(c)] = h[c]
 
 
 @jax.jit
@@ -475,7 +519,7 @@ def _fwd_call_x(x_p, wih_p, bih_p, whh_p, bhh_p, h0_p):
     nB, nT = B // b_blk, T // K
     const = lambda b, t: (0, 0)
     return pl.pallas_call(
-        _fwd_kernel_x,
+        functools.partial(_fwd_kernel_x, n_chains=_pick_chains(b_blk)),
         grid=(nB, nT),
         in_specs=[
             pl.BlockSpec((K, b_blk, Ip), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
@@ -516,9 +560,13 @@ def _bwd_kernel_x(
     dwhh_ref,
     dbhh_ref,
     dh_scr,
+    *,
+    n_chains: int,
 ):
     K = dy_ref.shape[0]
     b_blk, Hp = dh0_ref.shape
+    P = n_chains
+    R = b_blk // P
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -536,16 +584,22 @@ def _bwd_kernel_x(
         dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
         dbhh_ref[:] = jnp.zeros_like(dbhh_ref)
 
-    dh = dh_scr[:]
-    dgis = [None] * K
-    dghs = [None] * K
-    for k in range(K - 1, -1, -1):
-        dout = dy_ref[k] + dh
-        rzn = rzn_ref[k].astype(jnp.float32)
-        r, z, n = rzn[:, :Hp], rzn[:, Hp : 2 * Hp], rzn[:, 2 * Hp :]
-        ghn = ghn_ref[k].astype(jnp.float32)
-        h_prev = hprev_ref[k].astype(jnp.float32)
+    rows = lambda c: slice(c * R, (c + 1) * R)
+    dh = [dh_scr[rows(c)] for c in range(P)]
+    dgis = [[None] * P for _ in range(K)]
+    dghs = [[None] * P for _ in range(K)]
 
+    def issue(c, k):
+        # residual loads only — independent of the serial reverse chain
+        rzn = rzn_ref[k, rows(c)].astype(jnp.float32)
+        ghn = ghn_ref[k, rows(c)].astype(jnp.float32)
+        h_prev = hprev_ref[k, rows(c)].astype(jnp.float32)
+        dy = dy_ref[k, rows(c)]
+        return rzn, ghn, h_prev, dy
+
+    def gates(c, k, rzn, ghn, h_prev, dy):
+        r, z, n = rzn[:, :Hp], rzn[:, Hp : 2 * Hp], rzn[:, 2 * Hp :]
+        dout = dy + dh[c]
         dz = dout * (h_prev - n) * z * (1.0 - z)
         dn = dout * (1.0 - z) * (1.0 - n * n)
         dghn = dn * r
@@ -553,25 +607,48 @@ def _bwd_kernel_x(
         drpre = dr * r * (1.0 - r)
         dgi = jnp.concatenate([drpre, dz, dn], axis=-1)
         dgh = jnp.concatenate([drpre, dz, dghn], axis=-1)
-        dh = dout * z + jnp.dot(
+        dh[c] = dout * z + jnp.dot(
             dgh.astype(jnp.bfloat16), wt_ref[:], preferred_element_type=jnp.float32
         )
         # dx has no dependence on the serial reverse chain — MXU co-work
         # that overlaps the dgh @ W_hh^T latency (mirror of the forward's
         # in-kernel input-gate dot), and it replaces a (T,B,3H)-reading
         # einsum outside the kernel.
-        dx_ref[k] = jnp.dot(
+        dx_ref[k, rows(c)] = jnp.dot(
             dgi.astype(jnp.bfloat16), wihT_ref[:], preferred_element_type=jnp.float32
         ).astype(jnp.bfloat16)
-        dgis[k] = dgi.astype(jnp.bfloat16)
-        dghs[k] = dgh.astype(jnp.bfloat16)
-    dh_scr[:] = dh
+        dgis[k][c] = dgi.astype(jnp.bfloat16)
+        dghs[k][c] = dgh.astype(jnp.bfloat16)
+
+    if P == 1:
+        for k in range(K - 1, -1, -1):
+            gates(0, k, *issue(0, k))
+    else:
+        # rotating pipeline, reverse time (same emit order as _bwd_kernel)
+        pend = [None] * P
+        for k in range(K - 1, -1, -1):
+            for c in range(P):
+                new = issue(c, k)
+                if c == 0:
+                    if k < K - 1:
+                        gates(P - 1, k + 1, *pend[P - 1])
+                else:
+                    gates(c - 1, k, *pend[c - 1])
+                pend[c] = new
+        gates(P - 1, 0, *pend[P - 1])
+
+    for c in range(P):
+        dh_scr[rows(c)] = dh[c]
 
     # Block-level gradient accumulation: flatten the K timesteps into one
     # (K*b_blk)-row contraction per matmul — off the serial chain, same
     # rounding as the old outside einsums (bf16 operands, fp32 accumulate).
-    dgi_flat = jnp.concatenate(dgis, axis=0)  # (K*b, Gp) bf16
-    dgh_flat = jnp.concatenate(dghs, axis=0)
+    # Chain pieces concatenate in c-ascending order == original row order,
+    # matching hprev_flat/x_flat's k-major reshape row for row.
+    dgi_flat = jnp.concatenate(
+        [p for ks in dgis for p in ks], axis=0
+    )  # (K*b, Gp) bf16
+    dgh_flat = jnp.concatenate([p for ks in dghs for p in ks], axis=0)
     hprev_flat = hprev_ref[:].reshape(K * b_blk, Hp)
     x_flat = x_ref[:].reshape(K * b_blk, x_ref.shape[2])
     contract_rows = (((0,), (0,)), ((), ()))
@@ -602,7 +679,7 @@ def _bwd_call_x(dy_p, rzn, ghn, hprev_p, x_p, wt_p, wihT_p):
     rev3 = lambda b, t: (nT - 1 - t, b, 0)
     const = lambda b, t: (0, 0)
     return pl.pallas_call(
-        _bwd_kernel_x,
+        functools.partial(_bwd_kernel_x, n_chains=_pick_chains(b_blk)),
         grid=(nB, nT),
         in_specs=[
             pl.BlockSpec((K, b_blk, Hp), rev3, memory_space=pltpu.VMEM),
