@@ -45,28 +45,35 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     ckpt = str(tmp_path / "ck")
     metrics = str(tmp_path / "m.jsonl")
     env = dict(os.environ)
-    proc = subprocess.Popen(
-        [sys.executable, "-c", SCRIPT, ckpt, metrics],
-        env=env,
-        stdout=subprocess.PIPE,
-        stderr=subprocess.PIPE,
-        text=True,
-    )
-    # wait until training demonstrably progresses
-    deadline = time.time() + 180
-    while time.time() < deadline:
-        if os.path.exists(metrics) and len(open(metrics).readlines()) >= 2:
-            break
-        if proc.poll() is not None:
-            out, err = proc.communicate()
-            raise AssertionError(f"trainer died early: {out}\n{err}")
-        time.sleep(0.5)
-    else:
-        proc.kill()
-        raise AssertionError("trainer never progressed")
+    # Subprocess output goes to files, not PIPEs: the shared compile cache
+    # makes XLA's cpu_aot_loader print ~4KB stderr warnings per cache-entry
+    # load, which fills an unread 64KB pipe buffer and deadlocks the trainer
+    # mid-write while this test polls for progress.
+    out_path, err_path = tmp_path / "out.txt", tmp_path / "err.txt"
+    with open(out_path, "w") as out_f, open(err_path, "w") as err_f:
+        proc = subprocess.Popen(
+            [sys.executable, "-c", SCRIPT, ckpt, metrics],
+            env=env,
+            stdout=out_f,
+            stderr=err_f,
+            text=True,
+        )
+        # wait until training demonstrably progresses
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if os.path.exists(metrics) and len(open(metrics).readlines()) >= 2:
+                break
+            if proc.poll() is not None:
+                out, err = out_path.read_text(), err_path.read_text()
+                raise AssertionError(f"trainer died early: {out}\n{err}")
+            time.sleep(0.5)
+        else:
+            proc.kill()
+            raise AssertionError("trainer never progressed")
 
-    proc.send_signal(signal.SIGTERM)
-    out, err = proc.communicate(timeout=120)
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=120)
+    out, err = out_path.read_text(), err_path.read_text()
     assert proc.returncode == 0, (out, err)
     assert "CLEAN-EXIT" in out
     assert "checkpointing at step" in err
