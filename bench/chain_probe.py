@@ -68,7 +68,11 @@ def run_one(variant: str, mode: str):
     if mode == "fwd":
         fn = jax.jit(lambda *a: jnp.sum(fwd(*a)))
     else:
-        fn = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.tanh(fwd(*a)))))
+        # reduce the cotangent to a scalar INSIDE jit: returning the full
+        # (T,B,I) dx makes the timing loop measure the tunnel transfer
+        # (~61 MB/fetch), not the kernel
+        grad = jax.grad(lambda *a: jnp.sum(jnp.tanh(fwd(*a))))
+        fn = jax.jit(lambda *a: jnp.sum(grad(*a)))
 
     out = fn(*args)
     ts = []
@@ -88,13 +92,20 @@ def main():
         return
     configs = [
         ("scan_x (production)", "scan_x", {}),
+        ("scan_x b256 P2", "scan_x",
+         {"MOLVAX_GRU_B_BLK": "256", "MOLVAX_GRU_CHAINS": "2"}),
+        ("scan_x b256 P1", "scan_x", {"MOLVAX_GRU_B_BLK": "256"}),
+        ("scan_x b128 P2", "scan_x", {"MOLVAX_GRU_CHAINS": "2"}),
         ("hoisted b128 P1", "hoisted", {}),
         ("hoisted b256 P2", "hoisted",
          {"MOLVAX_GRU_B_BLK": "256", "MOLVAX_GRU_CHAINS": "2"}),
         ("hoisted b256 P1", "hoisted", {"MOLVAX_GRU_B_BLK": "256"}),
         ("hoisted b128 P2", "hoisted", {"MOLVAX_GRU_CHAINS": "2"}),
     ]
-    for mode in ("fwd", "fwdbwd"):
+    modes = ("fwd", "fwdbwd")
+    if "--mode" in sys.argv:
+        modes = (sys.argv[sys.argv.index("--mode") + 1],)
+    for mode in modes:
         for label, variant, env in configs:
             e = dict(os.environ, **env)
             r = subprocess.run(

@@ -145,11 +145,13 @@ def _pick_chains(b_blk: int) -> int:
     h @ W_hh latency in the FUSED stack kernel (gru_stack.py, where
     in-kernel input-gate dots keep the MXU busy), but a round-2 sweep on
     THIS kernel measured it monotonically harmful — v5 lite, B=256 f+b:
-    P=1 11.84 ms, P=2 11.87, P=4 12.12, P=8 12.47. With the input GEMMs
-    hoisted outside, the lone recurrence dot is throughput- not
-    latency-bound, and 16-row chain tiles just waste VPU lanes. Default 1;
-    MOLVAX_GRU_CHAINS (divisor of b_blk/16) re-enables for sweeps on other
-    hardware."""
+    P=1 11.84 ms, P=2 11.87, P=4 12.12, P=8 12.47. The round-4 follow-up
+    (bench.chain_probe) tested FULL 128-row chains in 256-row blocks on
+    the scan_x kernels and also lost (f+b 3.63 vs 3.32 ms; b128/P2 ties
+    exactly — docs/PERFORMANCE.md design table). With the input GEMMs
+    in-kernel, the recurrence dot is throughput- not latency-bound at
+    these widths. Default 1; MOLVAX_GRU_CHAINS (divisor of b_blk/16)
+    re-enables for sweeps on other hardware."""
     import os
 
     forced = os.environ.get("MOLVAX_GRU_CHAINS")
