@@ -801,16 +801,21 @@ def gru_forward_pallas(
     """Drop-in for molvax.nn.gru.gru_forward via Pallas recurrence kernels.
     x_seq (B, T, in) -> (out (B, T, H), h_final).
 
-    kernel='per_layer' (and 'auto', the default): one kernel per layer with
-    the input-gate GEMM computed IN-kernel (gru_layer_scan_x) so it
-    overlaps the serial chain; gate residuals stored for the backward. The
-    round-2 full-train-step matrix on v5 lite (bench/step_matrix.py) made
-    this the unconditional winner: 29.8k/30.1k SMILES/s at B=256/512
-    (H=501) vs the fused-stack kernel's 22.1k/22.8k, and ~8.0k vs ~3.7k on
-    the scaled 4xGRU-1024 config. kernel='fused_stack' keeps the all-layers
-    kernel (molvax/kernels/gru_stack.py) selectable — it was the route by
-    which the in-kernel-input-GEMM insight was found, and other hardware
-    may price the trade differently.
+    kernel='per_layer': one kernel per layer with the input-gate GEMM
+    computed IN-kernel (gru_layer_scan_x) so it overlaps the serial chain;
+    gate residuals stored for the backward. The round-2 full-train-step
+    matrix on v5 lite (bench/step_matrix.py) made this the B>=256 winner:
+    29.8k/30.1k SMILES/s at B=256/512 (H=501) vs the fused-stack kernel's
+    then-22.1k/22.8k, and ~8.0k vs ~3.7k on the scaled 4xGRU-1024 config.
+
+    kernel='fused_stack': the all-layers kernel (molvax/kernels/gru_stack.py).
+    Its round-4 v3 backward (in-kernel dW/db accumulation) + the re-measured
+    chain depth (P=2) flipped it at small batch: 24.5k vs per-layer 23.0k at
+    B=64 full train step — latency-starved batches want the cross-layer MXU
+    co-work. Still loses at B=256 (31.9k vs 32.8k).
+
+    kernel='auto' (default) routes by that measurement: fused_stack when
+    B <= 64 and the VMEM plan fits, per_layer otherwise.
 
     Falls back to the per-layer kernel when the stack shape or VMEM plan
     rules the fused kernel out, and to the pure-XLA scan when the batch is
@@ -838,7 +843,13 @@ def gru_forward_pallas(
                 file=sys.stderr,
             )
 
-    if kernel == "fused_stack":
+    # auto routes to the fused stack only on hardware: in interpret mode
+    # (CPU tests, multichip dryruns) the all-layers unrolled kernel is far
+    # slower to execute than per-layer, and the stack path has its own
+    # explicit-kernel tests (tests/kernels/test_gru_stack.py).
+    if kernel == "fused_stack" or (
+        kernel == "auto" and B <= 64 and not _interpret()
+    ):
         from .gru_stack import gru_forward_wavefront, stack_plan_ok
 
         if stack_plan_ok(layers, B, T):

@@ -35,9 +35,17 @@ traffic or serial-chain latency — binds the backward (per-sample throughput
 was flat 256->512 either way, so the saved HBM bought nothing). v2 therefore
 stores the r|z|n and gh_n residuals in the forward (8*Hp extra bytes/cell,
 off the critical path) and the backward consumes them directly: per cell
-only the serial dgh @ W_hh^T dot plus the dx staging dot remain, and it
-emits dgh directly (saving the (L,T,B,3Hp) concat materialization v1 paid
-outside the kernel).
+only the serial dgh @ W_hh^T dot plus the dx staging dot remain.
+
+BACKWARD, v3 (round 4): v2 still streamed dgi/dgh (2x(L,T,B,3Hp) bf16) to
+HBM and paid the dW einsums outside — the exact round-trip the per-layer
+backward eliminated in round 3 (gru.py _bwd_kernel_x, +10% at B=256 / +70%
+at 512). v3 ports that in: dW/db accumulate in VMEM-resident constant-index
+output blocks across the (batch, time) grid via per-layer flattened
+(K*b_blk)-row contractions (MXU co-work off the serial reverse chain), and
+only layer 0's dgi streams out for the outside gi0 GEMM's grads. The
+accumulators add (2L-1)*Hp*Gp fp32 to the VMEM plan (_bwd_bytes), which the
+planner charges; shapes that no longer fit fall back per-layer as before.
 
 Numerics match molvax.nn.gru.gru_forward (torch r|z|n gate order, bf16
 matmuls, fp32 gate math and carries) to bf16-residual tolerance; the
@@ -69,10 +77,14 @@ from .tpu_info import plan_budget as _plan_budget, vmem_limit as _vmem_limit
 
 def _bwd_bytes(L: int, Hp: int, b_blk: int, K: int) -> int:
     """VMEM bytes for the backward call (the larger of the two sweeps):
-    resident transposed weights (wihT, whhT bf16) + double-buffered
-    grid-indexed blocks + carry/staging scratch."""
+    resident transposed weights (wihT, whhT bf16) + VMEM-resident dW/db
+    accumulators (fp32, constant-index output blocks) + double-buffered
+    grid-indexed blocks + carry/staging scratch + the per-layer dgi/dgh
+    bf16 temporaries held across a layer's K-step sweep for the block-level
+    gradient contraction."""
     Gp = 3 * Hp
     weights = (L - 1) * Gp * Hp * 2 + L * Gp * Hp * 2
+    accums = (2 * L - 1) * Hp * Gp * 4 + (2 * L - 1) * Gp * 4
     blocks = (
         L * K * b_blk * Hp * 2  # hseq in
         + L * b_blk * Hp * 2  # hbound in
@@ -80,18 +92,18 @@ def _bwd_bytes(L: int, Hp: int, b_blk: int, K: int) -> int:
         + L * K * b_blk * Hp * 2  # ghn in
         + K * b_blk * Hp * 4  # dtop in (fp32; ADVICE r2 — no extra rounding)
         + L * b_blk * Hp * 4  # dhf in (fp32)
-        + L * K * b_blk * Gp * 2  # dgi out
-        + L * K * b_blk * Gp * 2  # dgh out
+        + K * b_blk * Gp * 2  # dgi0 out (layer 0 only)
     )
     scratch = L * b_blk * Hp * 4 + K * b_blk * Hp * 4  # dh carries + dx staging
-    return weights + 2 * blocks + scratch
+    temps = 2 * K * b_blk * Gp * 2  # dgi/dgh pieces alive across one layer
+    return weights + accums + 2 * blocks + scratch + temps
 
 
 def _plan_blocks(T: int, L: int, Hp: int, B: int) -> Tuple[int, int, int] | None:
     """Choose (b_blk, K, P): batch rows / timesteps per block, and the
     number of interleaved batch half-chains.
 
-    P=2 whenever the block splits into two sublane-aligned halves: the
+    P=2 whenever the block splits into two 32-row-or-wider halves: the
     kernels software-pipeline the two independent chains so one chain's
     matmul latency hides behind the other's VPU gate math. Larger K deepens
     the input-gate prefetch window and amortizes block DMA; prefer the
@@ -100,11 +112,19 @@ def _plan_blocks(T: int, L: int, Hp: int, B: int) -> Tuple[int, int, int] | None
     b_blk = _pick_b_blk(B)
     if b_blk is None:
         return None
-    # Deepest interleave whose chains stay sublane-aligned (16 rows). The
-    # round-2 sweep on v5 lite (B=256, H=501, L=3): P=1 f+b 10.5 ms, P=2
-    # 10.4, P=4 8.7, P=8 8.25 — latency hiding keeps paying down to 16-row
-    # chains. K=8 beat 10/12/15 on f+b (smaller unroll, same pipelining).
-    P = next(p for p in (8, 4, 2, 1) if b_blk % (16 * p) == 0)
+    # Chain-depth default re-measured for the v3 backward (round-4 sweep,
+    # full train step, zinc250k preset on v5 lite): B=64 P=1/2/4/8 =
+    # 23.1/24.5/18.6/18.9k SMILES/s; B=256 P=1/2/8 = 31.4/31.9/23.5k.
+    # P=2 (>=32-row chains) wins both; the deep interleaves the round-2
+    # sweep picked for the v2 backward waste VPU tiles on 16-row chains
+    # (same finding as bench.chain_probe on the per-layer kernels).
+    import os
+
+    forced = os.environ.get("MOLVAX_GRU_STACK_CHAINS")
+    if forced and b_blk % (16 * int(forced)) == 0:
+        P = int(forced)
+    else:
+        P = 2 if b_blk % 32 == 0 and b_blk >= 64 else 1
     for K in (8, 10, 12, 6, 15, 5, 20, 4, 24, 3, 2, 1):
         if T % K == 0 and _bwd_bytes(L, Hp, b_blk, K) <= _plan_budget():
             return b_blk, K, P
@@ -260,7 +280,8 @@ def _fused_fwd_call(gi0_p, wih_p, bih_p, whh_p, bhh_p, h0_p, b_blk, K, P):
 
 
 # --------------------------------------------------------------------------
-# backward kernel: reverse layer-sequential sweep, gates recomputed
+# backward kernel: reverse layer-sequential sweep over stored residuals,
+# with in-kernel VMEM dW/db accumulation (v3)
 # --------------------------------------------------------------------------
 
 def _fused_bwd_kernel(
@@ -272,21 +293,38 @@ def _fused_bwd_kernel(
     wihT_ref,
     whhT_ref,
     dhf_ref,
-    dgi_ref,
-    dgh_ref,
+    dgi0_ref,
     dh0_ref,
+    dwih_ref,
+    dbih_ref,
+    dwhh_ref,
+    dbhh_ref,
     dh_scr,
     dx_scr,
     *,
     n_chains: int,
 ):
     L, K, b_blk, Hp = hseq_ref.shape
+    Gp = 3 * Hp
     P = n_chains
     R = b_blk // P
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         dh_scr[:] = dhf_ref[:]
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        # Weight/bias gradient accumulators: constant-index output blocks
+        # stay VMEM-resident across the whole (batch, time) grid and flush
+        # once at the end — the same v3 move as the per-layer backward
+        # (gru.py _bwd_kernel_x, VERDICT r2 next 2): the dgi/dgh gate
+        # cotangents (2x(L,T,B,3Hp) bf16) never round-trip HBM and their
+        # contraction becomes MXU co-work off the serial reverse chain.
+        dwih_ref[:] = jnp.zeros_like(dwih_ref)
+        dbih_ref[:] = jnp.zeros_like(dbih_ref)
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+        dbhh_ref[:] = jnp.zeros_like(dbhh_ref)
 
     rows = lambda c: slice(c * R, (c + 1) * R)
 
@@ -299,6 +337,8 @@ def _fused_bwd_kernel(
     # its latency behind the other chains' VPU work.
     for l in range(L - 1, -1, -1):
         dh = [dh_scr[l, rows(c)] for c in range(P)]
+        dgis = [[None] * P for _ in range(K)]
+        dghs = [[None] * P for _ in range(K)]
 
         def issue(c, k):
             # residual loads only — prefetchable, off the serial chain
@@ -327,11 +367,14 @@ def _fused_bwd_kernel(
             drpre = dn * ghn * r * (1.0 - r)
             dgi = jnp.concatenate([drpre, dz, dn], axis=-1)
             dgh = jnp.concatenate([drpre, dz, dghn], axis=-1)
-            dgi_ref[l, k, rows(c)] = dgi.astype(jnp.bfloat16)
-            dgh_ref[l, k, rows(c)] = dgh.astype(jnp.bfloat16)
+            dgis[k][c] = dgi.astype(jnp.bfloat16)
+            dghs[k][c] = dgh.astype(jnp.bfloat16)
+            if l == 0:
+                # layer 0's gate cotangent feeds the outside gi0 GEMM grads
+                dgi0_ref[k, rows(c)] = dgis[k][c]
             # serial reverse chain (latency hidden by the other chains)
             dh[c] = dout * z + jnp.dot(
-                dgh.astype(jnp.bfloat16),
+                dghs[k][c],
                 whhT_ref[l],
                 preferred_element_type=jnp.float32,
             )
@@ -340,7 +383,7 @@ def _fused_bwd_kernel(
                 # dx_scr[k] within this cell keeps RAW/WAR ordering trivial);
                 # independent of the serial chain -> pipelines.
                 dx_scr[k, rows(c)] = jnp.dot(
-                    dgi.astype(jnp.bfloat16),
+                    dgis[k][c],
                     wihT_ref[l - 1],
                     preferred_element_type=jnp.float32,
                 )
@@ -364,6 +407,32 @@ def _fused_bwd_kernel(
 
         for c in range(P):
             dh_scr[l, rows(c)] = dh[c]
+
+        # Block-level gradient accumulation for this layer: flatten the K
+        # timesteps into one (K*b_blk)-row contraction per matmul — off the
+        # serial chain, same rounding as the old outside einsums (bf16
+        # operands, fp32 accumulate). Chain pieces concatenate in c-ascending
+        # order == original row order, matching the k-major hprev/x rows.
+        dgi_flat = jnp.concatenate([p for ks in dgis for p in ks], axis=0)
+        dgh_flat = jnp.concatenate([p for ks in dghs for p in ks], axis=0)
+        # hprev rows per step k: block-entry h at k=0, else hseq[k-1]
+        hprev_flat = jnp.concatenate(
+            [hbound_ref[l], hseq_ref[l, : K - 1]], axis=0
+        ).reshape(K * b_blk, Hp)
+        contract_rows = (((0,), (0,)), ((), ()))
+        dwhh_ref[l] += jax.lax.dot_general(
+            hprev_flat, dgh_flat, contract_rows, preferred_element_type=jnp.float32
+        )
+        dbhh_ref[l] += jnp.sum(dgh_flat.astype(jnp.float32), axis=0, keepdims=True)
+        if l > 0:
+            # layer l's x inputs are the layer-below h sequences (resident)
+            x_flat = hseq_ref[l - 1].reshape(K * b_blk, Hp)
+            dwih_ref[l - 1] += jax.lax.dot_general(
+                x_flat, dgi_flat, contract_rows, preferred_element_type=jnp.float32
+            )
+            dbih_ref[l - 1] += jnp.sum(
+                dgi_flat.astype(jnp.float32), axis=0, keepdims=True
+            )
 
     @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
     def _():
@@ -395,14 +464,20 @@ def _fused_bwd_call(hseq, hbound, rzn, ghn, dtop, wih_p, whh_p, dhf, b_blk, K, P
             pl.BlockSpec((L, b_blk, Hp), lambda b, t: (0, b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((L, K, b_blk, Gp), rev4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, K, b_blk, Gp), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, b_blk, Gp), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, b_blk, Hp), lambda b, t: (0, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L - 1, Hp, Gp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L - 1, 1, Gp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, Hp, Gp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1, Gp), const, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((L, T, B, Gp), jnp.bfloat16),  # dgi
-            jax.ShapeDtypeStruct((L, T, B, Gp), jnp.bfloat16),  # dgh
+            jax.ShapeDtypeStruct((T, B, Gp), jnp.bfloat16),  # dgi layer 0
             jax.ShapeDtypeStruct((L, B, Hp), jnp.float32),  # dh0
+            jax.ShapeDtypeStruct((L - 1, Hp, Gp), jnp.float32),  # dw_ih 1..L-1
+            jax.ShapeDtypeStruct((L - 1, 1, Gp), jnp.float32),  # db_ih 1..L-1
+            jax.ShapeDtypeStruct((L, Hp, Gp), jnp.float32),  # dw_hh
+            jax.ShapeDtypeStruct((L, 1, Gp), jnp.float32),  # db_hh
         ],
         scratch_shapes=[
             pltpu.VMEM((L, b_blk, Hp), jnp.float32),
@@ -484,29 +559,20 @@ def _stack_vjp_bwd(res, cots):
     dtop = _pad_tail(dY.astype(jnp.float32), 2, Hp)
     dhf_p = _pad_tail(dhf.astype(jnp.float32), 2, Hp)
 
-    dgi_all, dgh_all, dh0_p = _fused_bwd_call(
+    # All gradients come out of ONE kernel sweep (v3, mirroring the
+    # per-layer backward): dW/db accumulate in VMEM-resident constant-index
+    # blocks across the (batch, time) grid; only layer 0's dgi streams out
+    # (it feeds the outside gi0 GEMM's grads). The dgi/dgh HBM round-trip
+    # and the outside einsums are gone.
+    dgi0_p, dh0_p, dwih_p, dbih_p, dwhh_p, dbhh_p = _fused_bwd_call(
         hseq, hbound, rzn, ghn, dtop, wih_p, whh_p, dhf_p, b_blk, K, P
     )
 
-    # Weight/bias gradients: large MXU GEMM reductions over (T, B), outside
-    # the kernel. h_prev sequences come from slices of hseq (no copies):
-    # hprev[l] = [h0[l], hseq[l, :-1]].
-    h0_pb = _pad_tail(h0.astype(jnp.bfloat16), 2, Hp)
-    dwhh_p = jnp.einsum(
-        "ltbh,ltbg->lhg", hseq[:, :-1], dgh_all[:, 1:], preferred_element_type=jnp.float32
-    ) + jnp.einsum("lbh,lbg->lhg", h0_pb, dgh_all[:, 0], preferred_element_type=jnp.float32)
-    dbhh_p = jnp.sum(dgh_all.astype(jnp.float32), axis=(1, 2))
-    # Layers 1..L-1: x inputs are the layer-below h sequences.
-    dwih_p = jnp.einsum(
-        "ltbh,ltbg->lhg", hseq[:-1], dgi_all[1:], preferred_element_type=jnp.float32
-    )
-    dbih_p = jnp.sum(dgi_all[1:].astype(jnp.float32), axis=(1, 2))
-
-    dgi0 = _unpad_gates(dgi_all[0], H, Hp).astype(jnp.float32)
+    dgi0 = _unpad_gates(dgi0_p, H, Hp).astype(jnp.float32)
     dwih = _unpad_gates(dwih_p[:, :H], H, Hp)
-    dbih = _unpad_gates(dbih_p, H, Hp)
+    dbih = _unpad_gates(dbih_p[:, 0], H, Hp)
     dwhh = _unpad_gates(dwhh_p[:, :H], H, Hp)
-    dbhh = _unpad_gates(dbhh_p, H, Hp)
+    dbhh = _unpad_gates(dbhh_p[:, 0], H, Hp)
     dh0 = dh0_p[:, :, :H]
     return dgi0, dwih, dbih, dwhh, dbhh, dh0
 
