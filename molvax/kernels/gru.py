@@ -791,6 +791,21 @@ def pallas_batch_ok(B: int) -> bool:
 # full stacked forward (Pallas path used by the decoder)
 # --------------------------------------------------------------------------
 
+def _route_stack(kernel: str, B: int) -> bool:
+    """True when gru_forward_pallas should try the fused all-layers kernel.
+
+    'auto' routes to the stack only at B<=64 AND on hardware: the round-4
+    step matrix measured the v3 stack winning at B=64 (24.5k vs 23.0k
+    zinc250k; 24.7k vs 20.9k chemvae_5k same-run pairs) and losing at
+    B=256 (31.9k vs 32.8k); in interpret mode (CPU tests, multichip
+    dryruns) the all-layers unrolled kernel is far slower to execute than
+    per-layer, and the stack path has its own explicit-kernel tests
+    (tests/kernels/test_gru_stack.py)."""
+    return kernel == "fused_stack" or (
+        kernel == "auto" and B <= 64 and not _interpret()
+    )
+
+
 def gru_forward_pallas(
     layers: List,
     x_seq: Array,
@@ -843,13 +858,7 @@ def gru_forward_pallas(
                 file=sys.stderr,
             )
 
-    # auto routes to the fused stack only on hardware: in interpret mode
-    # (CPU tests, multichip dryruns) the all-layers unrolled kernel is far
-    # slower to execute than per-layer, and the stack path has its own
-    # explicit-kernel tests (tests/kernels/test_gru_stack.py).
-    if kernel == "fused_stack" or (
-        kernel == "auto" and B <= 64 and not _interpret()
-    ):
+    if _route_stack(kernel, B):
         from .gru_stack import gru_forward_wavefront, stack_plan_ok
 
         if stack_plan_ok(layers, B, T):

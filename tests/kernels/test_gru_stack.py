@@ -175,6 +175,22 @@ def test_forward_pallas_kernel_selection(kernel):
     np.testing.assert_allclose(np.asarray(hf_k), np.asarray(hf_ref), atol=ATOL, rtol=RTOL)
 
 
+def test_auto_routing_predicate(monkeypatch):
+    """auto -> fused_stack only at B<=64 on hardware; explicit selection
+    always honored; interpret mode (tests/dryruns) keeps per-layer."""
+    from molvax.kernels import gru as gru_mod
+
+    monkeypatch.setattr(gru_mod, "_interpret", lambda: False)
+    assert gru_mod._route_stack("auto", 64)
+    assert gru_mod._route_stack("auto", 16)
+    assert not gru_mod._route_stack("auto", 256)
+    assert gru_mod._route_stack("fused_stack", 256)
+    assert not gru_mod._route_stack("per_layer", 64)
+    monkeypatch.setattr(gru_mod, "_interpret", lambda: True)
+    assert not gru_mod._route_stack("auto", 64)
+    assert gru_mod._route_stack("fused_stack", 64)
+
+
 def test_faithful_twin_none_mode_tracks_per_layer():
     """round_gi='none' mirrors gru_layer_scan_x's rounding points (gi fp32
     in-kernel, never stored) — tight agreement in interpret mode."""
