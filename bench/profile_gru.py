@@ -92,23 +92,26 @@ def main():
         print(f"[{tag}] f+b", flush=True)
         summarize(tdir)
 
-    # raw kernel, no wrapper: pre-transposed gi0, stacked weights
+    # raw kernel, no wrapper: pre-transposed x0, stacked weights
     Hh = layers[0]["w_hh"].shape[0]
-    gi0 = jax.random.normal(jax.random.key(2), (T, B, 3 * Hh))
+    x0 = jax.random.normal(jax.random.key(2), (T, B, I))
+    wih0, bih0 = layers[0]["w_ih"], layers[0]["b_ih"]
     wih = jnp.stack([l["w_ih"] for l in layers[1:]])
     bih = jnp.stack([l["b_ih"] for l in layers[1:]])
     whh = jnp.stack([l["w_hh"] for l in layers])
     bhh = jnp.stack([l["b_hh"] for l in layers])
     h0 = jnp.zeros((L, B, Hh), jnp.float32)
 
-    def raw_fb(gi0, wih, bih, whh, bhh, h0):
+    def raw_fb(x0, wih0, bih0, wih, bih, whh, bhh, h0):
         def loss(*a):
             out, hf = gs.gru_stack_scan(*a)
             return jnp.sum(out**2)
 
-        return jax.grad(loss, argnums=(0, 1, 3))(gi0, wih, bih, whh, bhh, h0)
+        return jax.grad(loss, argnums=(0, 1, 5))(
+            x0, wih0, bih0, wih, bih, whh, bhh, h0
+        )
 
-    tdir = run_traced("raw_stack", raw_fb, gi0, wih, bih, whh, bhh, h0)
+    tdir = run_traced("raw_stack", raw_fb, x0, wih0, bih0, wih, bih, whh, bhh, h0)
     print("[raw_stack] f+b (no wrapper)", flush=True)
     summarize(tdir)
 

@@ -794,16 +794,17 @@ def pallas_batch_ok(B: int) -> bool:
 def _route_stack(kernel: str, B: int) -> bool:
     """True when gru_forward_pallas should try the fused all-layers kernel.
 
-    'auto' routes to the stack only at B<=64 AND on hardware: the round-4
-    step matrix measured the v3 stack winning at B=64 (24.5k vs 23.0k
-    zinc250k; 24.7k vs 20.9k chemvae_5k same-run pairs) and losing at
-    B=256 (31.9k vs 32.8k); in interpret mode (CPU tests, multichip
-    dryruns) the all-layers unrolled kernel is far slower to execute than
-    per-layer, and the stack path has its own explicit-kernel tests
-    (tests/kernels/test_gru_stack.py)."""
-    return kernel == "fused_stack" or (
-        kernel == "auto" and B <= 64 and not _interpret()
-    )
+    'auto' routes to the stack on hardware at every batch: with the round-4
+    v3 backward (in-kernel dW/db accumulation), the P=2 chain default, and
+    the in-kernel layer-0 input GEMM, the stack won every measured same-run
+    pair on v5 lite (zinc250k preset: 24.3k vs 23.3k @64, 34.1-34.8k vs
+    31.5-32.2k @256, 37.4k vs 34.8k @512 SMILES/s) — the per-layer kernel
+    serves shapes whose stack plan exceeds the VMEM budget (e.g. the
+    4xGRU-1024 moses_scaled config; stack_plan_ok gates in the caller) and
+    interpret mode (CPU tests, multichip dryruns), where the all-layers
+    unrolled kernel is far slower to execute and the stack path has its own
+    explicit-kernel tests (tests/kernels/test_gru_stack.py)."""
+    return kernel == "fused_stack" or (kernel == "auto" and not _interpret())
 
 
 def gru_forward_pallas(
@@ -819,18 +820,21 @@ def gru_forward_pallas(
     kernel='per_layer': one kernel per layer with the input-gate GEMM
     computed IN-kernel (gru_layer_scan_x) so it overlaps the serial chain;
     gate residuals stored for the backward. The round-2 full-train-step
-    matrix on v5 lite (bench/step_matrix.py) made this the B>=256 winner:
+    matrix on v5 lite (bench/step_matrix.py) made this the then-winner:
     29.8k/30.1k SMILES/s at B=256/512 (H=501) vs the fused-stack kernel's
     then-22.1k/22.8k, and ~8.0k vs ~3.7k on the scaled 4xGRU-1024 config.
 
     kernel='fused_stack': the all-layers kernel (molvax/kernels/gru_stack.py).
-    Its round-4 v3 backward (in-kernel dW/db accumulation) + the re-measured
-    chain depth (P=2) flipped it at small batch: 24.5k vs per-layer 23.0k at
-    B=64 full train step — latency-starved batches want the cross-layer MXU
-    co-work. Still loses at B=256 (31.9k vs 32.8k).
+    Round 4 gave it the same two moves that made per-layer fast — in-kernel
+    dW/db accumulation in the backward (v3) and the in-kernel input GEMM
+    (extended to layer 0) — plus the measured P=2 chain depth, and it now
+    wins every same-run pair at H=512: 24.3k vs 23.3k @64, 34.1-34.8k vs
+    31.5-32.2k @256, 37.4k vs 34.8k @512 (zinc250k preset full train step).
 
-    kernel='auto' (default) routes by that measurement: fused_stack when
-    B <= 64 and the VMEM plan fits, per_layer otherwise.
+    kernel='auto' (default) routes by that measurement: fused_stack on
+    hardware whenever the VMEM plan fits (stack_plan_ok), per_layer for
+    oversize shapes (moses_scaled's 4xGRU-1024 plan needs ~167 MB vs the
+    ~100 MB budget) and in interpret mode.
 
     Falls back to the per-layer kernel when the stack shape or VMEM plan
     rules the fused kernel out, and to the pure-XLA scan when the batch is

@@ -21,10 +21,13 @@ So this kernel runs layers sequentially inside each (batch, K-timestep)
 block, with everything resident in VMEM (~120 MB measured on this chip —
 far above the 16 MB planning figure; blocks are sized by _plan_blocks):
 
-  * All weights (W_ih of layers 1..L-1 + W_hh of all layers) stay in VMEM
-    across the whole sweep; layers>0 input gates are computed in-kernel.
-  * Layer-0 input gates (x @ W_ih0 + b_ih0) stay a single large XLA GEMM
-    outside the kernel (x is the (B,T,in0) decoder input; in0 != H).
+  * All weights (W_ih of every layer + W_hh of all layers) stay in VMEM
+    across the whole sweep; every layer's input gates are computed
+    in-kernel — round 4 brought layer 0 in too (the scan_x treatment):
+    x0 streams in as (K, b_blk, Ip0) blocks and the x0 @ W_ih0 dot is MXU
+    co-work off the serial chain, eliminating the hoisted XLA GEMM and its
+    (T,B,3Hp) bf16 gi0 HBM materialization (the stack's last remaining
+    HBM-traffic deficit vs the per-layer scan_x path).
 
 BACKWARD, v2 (round-2 iteration). v1 stored only the bf16 h sequences and
 re-derived the gates in the backward ("HBM diet", VERDICT r1 next 5). That
@@ -75,31 +78,34 @@ Array = jax.Array
 from .tpu_info import plan_budget as _plan_budget, vmem_limit as _vmem_limit
 
 
-def _bwd_bytes(L: int, Hp: int, b_blk: int, K: int) -> int:
+def _bwd_bytes(L: int, Hp: int, b_blk: int, K: int, Ip0: int) -> int:
     """VMEM bytes for the backward call (the larger of the two sweeps):
-    resident transposed weights (wihT, whhT bf16) + VMEM-resident dW/db
-    accumulators (fp32, constant-index output blocks) + double-buffered
-    grid-indexed blocks + carry/staging scratch + the per-layer dgi/dgh
-    bf16 temporaries held across a layer's K-step sweep for the block-level
-    gradient contraction."""
+    resident transposed weights (wih0T, wihT, whhT bf16) + VMEM-resident
+    dW/db accumulators (fp32, constant-index output blocks) +
+    double-buffered grid-indexed blocks + carry/staging scratch + the
+    per-layer dgi/dgh bf16 temporaries held across a layer's K-step sweep
+    for the block-level gradient contraction."""
     Gp = 3 * Hp
-    weights = (L - 1) * Gp * Hp * 2 + L * Gp * Hp * 2
-    accums = (2 * L - 1) * Hp * Gp * 4 + (2 * L - 1) * Gp * 4
+    weights = Ip0 * Gp * 2 + (L - 1) * Gp * Hp * 2 + L * Gp * Hp * 2
+    accums = Ip0 * Gp * 4 + (2 * L - 1) * Hp * Gp * 4 + 2 * L * Gp * 4
     blocks = (
         L * K * b_blk * Hp * 2  # hseq in
         + L * b_blk * Hp * 2  # hbound in
         + L * K * b_blk * Gp * 2  # rzn in
         + L * K * b_blk * Hp * 2  # ghn in
         + K * b_blk * Hp * 4  # dtop in (fp32; ADVICE r2 — no extra rounding)
+        + K * b_blk * Ip0 * 2  # x0 in
         + L * b_blk * Hp * 4  # dhf in (fp32)
-        + K * b_blk * Gp * 2  # dgi0 out (layer 0 only)
+        + K * b_blk * Ip0 * 2  # dx0 out (layer 0 only)
     )
     scratch = L * b_blk * Hp * 4 + K * b_blk * Hp * 4  # dh carries + dx staging
     temps = 2 * K * b_blk * Gp * 2  # dgi/dgh pieces alive across one layer
     return weights + accums + 2 * blocks + scratch + temps
 
 
-def _plan_blocks(T: int, L: int, Hp: int, B: int) -> Tuple[int, int, int] | None:
+def _plan_blocks(
+    T: int, L: int, Hp: int, B: int, Ip0: int | None = None
+) -> Tuple[int, int, int] | None:
     """Choose (b_blk, K, P): batch rows / timesteps per block, and the
     number of interleaved batch half-chains.
 
@@ -126,7 +132,9 @@ def _plan_blocks(T: int, L: int, Hp: int, B: int) -> Tuple[int, int, int] | None
     else:
         P = 2 if b_blk % 32 == 0 and b_blk >= 64 else 1
     for K in (8, 10, 12, 6, 15, 5, 20, 4, 24, 3, 2, 1):
-        if T % K == 0 and _bwd_bytes(L, Hp, b_blk, K) <= _plan_budget():
+        if T % K == 0 and _bwd_bytes(
+            L, Hp, b_blk, K, Hp if Ip0 is None else Ip0
+        ) <= _plan_budget():
             return b_blk, K, P
     return None
 
@@ -136,7 +144,9 @@ def _plan_blocks(T: int, L: int, Hp: int, B: int) -> Tuple[int, int, int] | None
 # --------------------------------------------------------------------------
 
 def _fused_fwd_kernel(
-    gi0_ref,
+    x0_ref,
+    wih0_ref,
+    bih0_ref,
     wih_ref,
     bih_ref,
     whh_ref,
@@ -150,7 +160,7 @@ def _fused_fwd_kernel(
     *,
     n_chains: int,
 ):
-    K = gi0_ref.shape[0]
+    K = x0_ref.shape[0]
     L, b_blk, Hp = h0_ref.shape
     P = n_chains
     R = b_blk // P
@@ -169,11 +179,21 @@ def _fused_fwd_kernel(
         h = [h_scr[l, rows(c)] for c in range(P)]  # fp32 carries per chain
 
         def issue(c, k):
-            # Input gates: layer 0's come precomputed; layers>0 read the
-            # layer-below outputs written during the previous l-iteration —
-            # no dependence on THIS layer's serial chain.
+            # Input gates computed IN-kernel for every layer (round 4 — the
+            # scan_x treatment brought to layer 0 too): layer 0's x @ W_ih0
+            # dot has no dependence on the serial chain (MXU co-work), and
+            # the hoisted (T,B,3Hp) gi0 HBM materialization disappears.
+            # Layers>0 read the layer-below outputs written during the
+            # previous l-iteration.
             if l == 0:
-                gi = gi0_ref[k, rows(c)].astype(jnp.float32)
+                gi = (
+                    jnp.dot(
+                        x0_ref[k, rows(c)],
+                        wih0_ref[:],
+                        preferred_element_type=jnp.float32,
+                    )
+                    + bih0_ref[:]
+                )
             else:
                 gi = (
                     jnp.dot(
@@ -234,19 +254,23 @@ def _fused_fwd_kernel(
             h_scr[l, rows(c)] = h[c]
 
 
-def _fused_fwd_call(gi0_p, wih_p, bih_p, whh_p, bhh_p, h0_p, b_blk, K, P):
+def _fused_fwd_call(x0_p, wih0_p, bih0_p, wih_p, bih_p, whh_p, bhh_p, h0_p, b_blk, K, P):
     import functools
 
-    T, B, Gp = gi0_p.shape
+    T, B, Ip0 = x0_p.shape
+    Gp = wih0_p.shape[1]
     Hp = Gp // 3
     L = whh_p.shape[0]
     nB, nT = B // b_blk, T // K
     const = lambda b, t: (0, 0, 0)
+    const2 = lambda b, t: (0, 0)
     return pl.pallas_call(
         functools.partial(_fused_fwd_kernel, n_chains=P),
         grid=(nB, nT),
         in_specs=[
-            pl.BlockSpec((K, b_blk, Gp), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, b_blk, Ip0), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ip0, Gp), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gp), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((L - 1, Hp, Gp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((L - 1, 1, Gp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, Hp, Gp), const, memory_space=pltpu.VMEM),
@@ -276,7 +300,7 @@ def _fused_fwd_call(gi0_p, wih_p, bih_p, whh_p, bhh_p, h0_p, b_blk, K, P):
         scratch_shapes=[pltpu.VMEM((L, b_blk, Hp), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
-    )(gi0_p, wih_p, bih_p, whh_p, bhh_p, h0_p)
+    )(x0_p, wih0_p, bih0_p, wih_p, bih_p, whh_p, bhh_p, h0_p)
 
 
 # --------------------------------------------------------------------------
@@ -290,11 +314,15 @@ def _fused_bwd_kernel(
     rzn_ref,
     ghn_ref,
     dtop_ref,
+    x0_ref,
+    wih0T_ref,
     wihT_ref,
     whhT_ref,
     dhf_ref,
-    dgi0_ref,
+    dx0_ref,
     dh0_ref,
+    dwih0_ref,
+    dbih0_ref,
     dwih_ref,
     dbih_ref,
     dwhh_ref,
@@ -321,6 +349,8 @@ def _fused_bwd_kernel(
         # (gru.py _bwd_kernel_x, VERDICT r2 next 2): the dgi/dgh gate
         # cotangents (2x(L,T,B,3Hp) bf16) never round-trip HBM and their
         # contraction becomes MXU co-work off the serial reverse chain.
+        dwih0_ref[:] = jnp.zeros_like(dwih0_ref)
+        dbih0_ref[:] = jnp.zeros_like(dbih0_ref)
         dwih_ref[:] = jnp.zeros_like(dwih_ref)
         dbih_ref[:] = jnp.zeros_like(dbih_ref)
         dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
@@ -369,9 +399,6 @@ def _fused_bwd_kernel(
             dgh = jnp.concatenate([drpre, dz, dghn], axis=-1)
             dgis[k][c] = dgi.astype(jnp.bfloat16)
             dghs[k][c] = dgh.astype(jnp.bfloat16)
-            if l == 0:
-                # layer 0's gate cotangent feeds the outside gi0 GEMM grads
-                dgi0_ref[k, rows(c)] = dgis[k][c]
             # serial reverse chain (latency hidden by the other chains)
             dh[c] = dout * z + jnp.dot(
                 dghs[k][c],
@@ -387,6 +414,15 @@ def _fused_bwd_kernel(
                     wihT_ref[l - 1],
                     preferred_element_type=jnp.float32,
                 )
+            else:
+                # layer 0's upstream cotangent leaves the kernel: dx0 =
+                # dgi @ W_ih0^T, MXU co-work off the serial chain (mirror
+                # of the per-layer backward's dx dot)
+                dx0_ref[k, rows(c)] = jnp.dot(
+                    dgis[k][c],
+                    wih0T_ref[:],
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
 
         if P == 1:
             for k in range(K - 1, -1, -1):
@@ -433,23 +469,37 @@ def _fused_bwd_kernel(
             dbih_ref[l - 1] += jnp.sum(
                 dgi_flat.astype(jnp.float32), axis=0, keepdims=True
             )
+        else:
+            # layer 0's x inputs stream in with the block
+            x0_flat = x0_ref[:].reshape(K * b_blk, x0_ref.shape[2])
+            dwih0_ref[:] += jax.lax.dot_general(
+                x0_flat, dgi_flat, contract_rows, preferred_element_type=jnp.float32
+            )
+            dbih0_ref[:] += jnp.sum(
+                dgi_flat.astype(jnp.float32), axis=0, keepdims=True
+            )
 
     @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
     def _():
         dh0_ref[:] = dh_scr[:]
 
 
-def _fused_bwd_call(hseq, hbound, rzn, ghn, dtop, wih_p, whh_p, dhf, b_blk, K, P):
+def _fused_bwd_call(
+    hseq, hbound, rzn, ghn, dtop, x0_p, wih0_p, wih_p, whh_p, dhf, b_blk, K, P
+):
     import functools
 
     L, T, B, Hp = hseq.shape
     Gp = 3 * Hp
+    Ip0 = x0_p.shape[2]
     nB, nT = B // b_blk, T // K
+    wih0T = jnp.swapaxes(wih0_p, 0, 1)
     wihT = jnp.swapaxes(wih_p, 1, 2)
     whhT = jnp.swapaxes(whh_p, 1, 2)
     rev = lambda b, t: (nT - 1 - t, b, 0)
     rev4 = lambda b, t: (0, nT - 1 - t, b, 0)
     const = lambda b, t: (0, 0, 0)
+    const2 = lambda b, t: (0, 0)
     return pl.pallas_call(
         functools.partial(_fused_bwd_kernel, n_chains=P),
         grid=(nB, nT),
@@ -459,21 +509,27 @@ def _fused_bwd_call(hseq, hbound, rzn, ghn, dtop, wih_p, whh_p, dhf, b_blk, K, P
             pl.BlockSpec((L, K, b_blk, Gp), rev4, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, K, b_blk, Hp), rev4, memory_space=pltpu.VMEM),
             pl.BlockSpec((K, b_blk, Hp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, b_blk, Ip0), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gp, Ip0), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((L - 1, Gp, Hp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, Gp, Hp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, b_blk, Hp), lambda b, t: (0, b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((K, b_blk, Gp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, b_blk, Ip0), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, b_blk, Hp), lambda b, t: (0, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ip0, Gp), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gp), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((L - 1, Hp, Gp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((L - 1, 1, Gp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, Hp, Gp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, 1, Gp), const, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, Gp), jnp.bfloat16),  # dgi layer 0
+            jax.ShapeDtypeStruct((T, B, Ip0), jnp.bfloat16),  # dx0
             jax.ShapeDtypeStruct((L, B, Hp), jnp.float32),  # dh0
+            jax.ShapeDtypeStruct((Ip0, Gp), jnp.float32),  # dw_ih0
+            jax.ShapeDtypeStruct((1, Gp), jnp.float32),  # db_ih0
             jax.ShapeDtypeStruct((L - 1, Hp, Gp), jnp.float32),  # dw_ih 1..L-1
             jax.ShapeDtypeStruct((L - 1, 1, Gp), jnp.float32),  # db_ih 1..L-1
             jax.ShapeDtypeStruct((L, Hp, Gp), jnp.float32),  # dw_hh
@@ -485,7 +541,7 @@ def _fused_bwd_call(hseq, hbound, rzn, ghn, dtop, wih_p, whh_p, dhf, b_blk, K, P
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
-    )(hseq, hbound, rzn, ghn, dtop, wihT, whhT, dhf)
+    )(hseq, hbound, rzn, ghn, dtop, x0_p, wih0T, wihT, whhT, dhf)
 
 
 # --------------------------------------------------------------------------
@@ -494,7 +550,9 @@ def _fused_bwd_call(hseq, hbound, rzn, ghn, dtop, wih_p, whh_p, dhf, b_blk, K, P
 
 @jax.custom_vjp
 def gru_stack_scan(
-    gi0_seq: Array,
+    x0_seq: Array,
+    wih0: Array,
+    bih0: Array,
     wih: Array,
     bih: Array,
     whh: Array,
@@ -503,7 +561,9 @@ def gru_stack_scan(
 ) -> Tuple[Array, Array]:
     """Full stacked-GRU recurrence, fused into one kernel.
 
-    gi0_seq: (T, B, 3H)  layer-0 input gates, precomputed (x @ W_ih0 + b_ih0)
+    x0_seq:  (T, B, I0) layer-0 inputs (round 4: the x @ W_ih0 GEMM rides
+             IN-kernel like every other layer's — no hoisted (T,B,3H) gi0)
+    wih0:    (I0, 3H), bih0: (3H,)
     wih:     (L-1, H, 3H) input weights of layers 1..L-1
     bih:     (L-1, 3H)
     whh:     (L, H, 3H)
@@ -513,20 +573,23 @@ def gru_stack_scan(
 
     Same math as running molvax.nn.gru.gru_layer_recurrence layer by layer
     (torch r|z|n gate order). Caller must have checked stack_plan_ok()."""
-    out, _ = _stack_fwd(gi0_seq, wih, bih, whh, bhh, h0)
+    out, _ = _stack_fwd(x0_seq, wih0, bih0, wih, bih, whh, bhh, h0)
     return out
 
 
-def _stack_fwd(gi0_seq, wih, bih, whh, bhh, h0):
-    T, B, G = gi0_seq.shape
-    H = G // 3
+def _stack_fwd(x0_seq, wih0, bih0, wih, bih, whh, bhh, h0):
+    T, B, I0 = x0_seq.shape
+    H = whh.shape[1]
     L = whh.shape[0]
     Hp = _round_up(H, 128)
-    plan = _plan_blocks(T, L, Hp, B)
+    Ip0 = _round_up(I0, 128)
+    plan = _plan_blocks(T, L, Hp, B, Ip0)
     assert plan is not None, "caller must gate on stack_plan_ok()"
     b_blk, K, P = plan
 
-    gi0_p = _pad_gates(gi0_seq, H, Hp).astype(jnp.bfloat16)
+    x0_p = _pad_tail(x0_seq, 2, Ip0).astype(jnp.bfloat16)
+    wih0_p = _pad_gates(_pad_tail(wih0, 0, Ip0), H, Hp).astype(jnp.bfloat16)
+    bih0_p = _pad_gates(bih0, H, Hp).astype(jnp.float32)[None, :]
     wih_p = _pad_gates(_pad_tail(wih, 1, Hp), H, Hp).astype(jnp.bfloat16)
     bih_p = _pad_gates(bih, H, Hp).astype(jnp.float32)[:, None, :]
     whh_p = _pad_gates(_pad_tail(whh, 1, Hp), H, Hp).astype(jnp.bfloat16)
@@ -534,47 +597,52 @@ def _stack_fwd(gi0_seq, wih, bih, whh, bhh, h0):
     h0_p = _pad_tail(h0.astype(jnp.float32), 2, Hp)
 
     hseq, hbound, rzn, ghn = _fused_fwd_call(
-        gi0_p, wih_p, bih_p, whh_p, bhh_p, h0_p, b_blk, K, P
+        x0_p, wih0_p, bih0_p, wih_p, bih_p, whh_p, bhh_p, h0_p, b_blk, K, P
     )
     out_seq = hseq[L - 1, :, :, :H].astype(jnp.float32)
     h_final = hseq[:, T - 1, :, :H].astype(jnp.float32)
-    res = (hseq, hbound, rzn, ghn, wih_p, whh_p, h0)
+    res = (hseq, hbound, rzn, ghn, x0_p, wih0_p, wih_p, whh_p, h0, I0)
     return (out_seq, h_final), res
 
 
-def _stack_vjp_fwd(gi0_seq, wih, bih, whh, bhh, h0):
-    return _stack_fwd(gi0_seq, wih, bih, whh, bhh, h0)
+def _stack_vjp_fwd(x0_seq, wih0, bih0, wih, bih, whh, bhh, h0):
+    return _stack_fwd(x0_seq, wih0, bih0, wih, bih, whh, bhh, h0)
 
 
 def _stack_vjp_bwd(res, cots):
     dY, dhf = cots
-    hseq, hbound, rzn, ghn, wih_p, whh_p, h0 = res
+    hseq, hbound, rzn, ghn, x0_p, wih0_p, wih_p, whh_p, h0, I0 = res
     L, T, B, Hp = hseq.shape
     H = h0.shape[-1]
-    b_blk, K, P = _plan_blocks(T, L, Hp, B)
+    Ip0 = x0_p.shape[2]
+    b_blk, K, P = _plan_blocks(T, L, Hp, B, Ip0)
 
     # dtop stays fp32 (ADVICE r2): the per-layer path keeps the upstream
-    # cotangent fp32, so the opt-in fused path must not add a rounding point
+    # cotangent fp32, so the fused path must not add a rounding point
     # its 'same numerics to bf16-residual tolerance' twin doesn't have.
     dtop = _pad_tail(dY.astype(jnp.float32), 2, Hp)
     dhf_p = _pad_tail(dhf.astype(jnp.float32), 2, Hp)
 
     # All gradients come out of ONE kernel sweep (v3, mirroring the
     # per-layer backward): dW/db accumulate in VMEM-resident constant-index
-    # blocks across the (batch, time) grid; only layer 0's dgi streams out
-    # (it feeds the outside gi0 GEMM's grads). The dgi/dgh HBM round-trip
-    # and the outside einsums are gone.
-    dgi0_p, dh0_p, dwih_p, dbih_p, dwhh_p, dbhh_p = _fused_bwd_call(
-        hseq, hbound, rzn, ghn, dtop, wih_p, whh_p, dhf_p, b_blk, K, P
+    # blocks across the (batch, time) grid; only layer 0's dx streams out.
+    # The dgi/dgh HBM round-trip and the outside einsums are gone.
+    dx0_p, dh0_p, dwih0_p, dbih0_p, dwih_p, dbih_p, dwhh_p, dbhh_p = (
+        _fused_bwd_call(
+            hseq, hbound, rzn, ghn, dtop, x0_p, wih0_p, wih_p, whh_p, dhf_p,
+            b_blk, K, P,
+        )
     )
 
-    dgi0 = _unpad_gates(dgi0_p, H, Hp).astype(jnp.float32)
+    dx0 = dx0_p[..., :I0].astype(jnp.float32)
+    dwih0 = _unpad_gates(dwih0_p[:I0], H, Hp)
+    dbih0 = _unpad_gates(dbih0_p[0], H, Hp)
     dwih = _unpad_gates(dwih_p[:, :H], H, Hp)
     dbih = _unpad_gates(dbih_p[:, 0], H, Hp)
     dwhh = _unpad_gates(dwhh_p[:, :H], H, Hp)
     dbhh = _unpad_gates(dbhh_p[:, 0], H, Hp)
     dh0 = dh0_p[:, :, :H]
-    return dgi0, dwih, dbih, dwhh, dbhh, dh0
+    return dx0, dwih0, dbih0, dwih, dbih, dwhh, dbhh, dh0
 
 
 gru_stack_scan.defvjp(_stack_vjp_fwd, _stack_vjp_bwd)
@@ -591,23 +659,25 @@ def stack_plan_ok(layers: List, B: int, T: int) -> bool:
     for layer in layers[1:]:
         if layer["w_ih"].shape != (H, 3 * H) or layer["w_hh"].shape != (H, 3 * H):
             return False
-    return _plan_blocks(T, L, _round_up(H, 128), B) is not None
+    Ip0 = _round_up(layers[0]["w_ih"].shape[0], 128)
+    return _plan_blocks(T, L, _round_up(H, 128), B, Ip0) is not None
 
 
 def gru_forward_faithful(
     layers: List,
     x_seq: Array,
     h0: Array | None = None,
-    round_gi: str = "first",
+    round_gi: str = "none",
 ) -> Tuple[Array, Array]:
     """jnp twin of the Pallas recurrence paths with IDENTICAL rounding points.
 
-    round_gi='first' mirrors the fused-stack kernel (only layer 0's input
-    gates are stored bf16; deeper layers compute theirs in-kernel at fp32);
-    round_gi='none' mirrors the per-layer gru_layer_scan_x path (every
-    layer's gi computed in-kernel at fp32 from bf16 operands, never stored);
-    round_gi='all' mirrors the legacy hoisted-GEMM per-layer wrapper, which
-    rounds every layer's gi to bf16 at the pallas_call boundary.
+    round_gi='none' mirrors BOTH production kernels since round 4: the
+    per-layer gru_layer_scan_x path and the fused stack (every layer's gi —
+    layer 0 included — computed in-kernel at fp32 from bf16 operands, never
+    stored); round_gi='first' mirrors the v2 stack kernel (layer-0 gi
+    hoisted and stored bf16; kept for history/A-B); round_gi='all' mirrors
+    the legacy hoisted-GEMM per-layer wrapper, which rounds every layer's
+    gi to bf16 at the pallas_call boundary.
 
     The generic jnp reference (molvax.nn.gru.gru_forward) keeps h fp32
     end-to-end, so its trajectory diverges from any kernel that stores bf16
@@ -681,30 +751,24 @@ def gru_forward_wavefront(
 ) -> Tuple[Array, Array]:
     """Drop-in for molvax.nn.gru.gru_forward via the fused stack kernel.
 
-    x_seq (B, T, in0) -> (out (B, T, H), h_final (L, B, H)). Layer-0 input
-    gates are one large XLA GEMM; everything else is the fused kernel.
+    x_seq (B, T, in0) -> (out (B, T, H), h_final (L, B, H)). Every layer's
+    input gates — including layer 0's — are computed inside the kernel
+    (round 4; compute_dtype is unused, kept for call-site compatibility).
     (Name kept from the wavefront-scheduled first cut; the schedule is now
     layer-sequential — see module docstring for the measured reasons.)"""
     B, T, _ = x_seq.shape
     L = len(layers)
     H = layers[0]["w_hh"].shape[0]
-    cd = compute_dtype
+    del compute_dtype  # kernel is bf16-matmul by design (see gru.py note)
     if h0 is None:
         h0 = jnp.zeros((L, B, H), dtype=jnp.float32)
 
-    gi0 = (
-        jnp.dot(
-            x_seq.astype(cd),
-            layers[0]["w_ih"].astype(cd),
-            preferred_element_type=jnp.float32,
-        )
-        + layers[0]["b_ih"]
-    )  # (B, T, 3H)
     wih = jnp.stack([l["w_ih"] for l in layers[1:]])
     bih = jnp.stack([l["b_ih"] for l in layers[1:]])
     whh = jnp.stack([l["w_hh"] for l in layers])
     bhh = jnp.stack([l["b_hh"] for l in layers])
     out_tbf, h_final = gru_stack_scan(
-        jnp.swapaxes(gi0, 0, 1), wih, bih, whh, bhh, h0
+        jnp.swapaxes(x_seq, 0, 1), layers[0]["w_ih"], layers[0]["b_ih"],
+        wih, bih, whh, bhh, h0,
     )
     return jnp.swapaxes(out_tbf, 0, 1), h_final

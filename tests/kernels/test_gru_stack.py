@@ -69,40 +69,59 @@ def test_wavefront_grads_match(B, T):
         # touch BOTH outputs so the dh_final cotangent path is exercised
         return jnp.mean(out**2) + jnp.sum(jnp.sin(h_final))
 
-    g_ref = jax.grad(functools.partial(loss, gru_forward))(layers, x_seq)
+    # bf16 matmul operands in the reference, like the kernel — else gate
+    # trajectories diverge enough at B=128 to push a few weight-grad
+    # elements past rtol (same alignment as test_gru_kernel's scan_x test)
+    ref_fwd = functools.partial(gru_forward, compute_dtype=jnp.bfloat16)
+    g_ref = jax.grad(functools.partial(loss, ref_fwd))(layers, x_seq)
     g_k = jax.grad(functools.partial(loss, gru_forward_wavefront))(layers, x_seq)
     flat_ref, tdef = jax.tree.flatten(g_ref)
     flat_k, _ = jax.tree.flatten(g_k)
+    # Weight/bias grads sum one bf16-rounded dgi/dgh cotangent per (t, b)
+    # sample (the kernel casts cotangents to bf16 exactly as the residual
+    # stream always did; the jnp reference keeps them fp32), so their
+    # absolute drift grows ~sqrt(B*T) — scale atol with the contraction
+    # length (192 = the smallest parametrized case).
+    atol_w = ATOL * max(1.0, (B * T / 192) ** 0.5 * 1.9)
     for path, a, b in zip(jax.tree.leaves_with_path(g_ref), flat_ref, flat_k):
         np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), atol=ATOL, rtol=0.1,
+            np.asarray(b), np.asarray(a), atol=atol_w, rtol=0.1,
             err_msg=str(path[0]),
         )
 
 
-def test_wavefront_h0_and_gi_grads():
-    """Direct gru_stack_scan call: gradients w.r.t. gi0 and a nonzero h0."""
-    B, T, H, L = 16, 12, 130, 2
-    layers = init_gru_params(jax.random.key(0), H, H, L)
-    gi0 = jax.random.normal(jax.random.key(1), (T, B, 3 * H)) * 0.5
+def test_wavefront_h0_and_x0_grads():
+    """Direct gru_stack_scan call: gradients w.r.t. x0, the layer-0 input
+    weights (in-kernel since round 4), and a nonzero h0."""
+    B, T, I, H, L = 16, 12, 9, 130, 2
+    layers = init_gru_params(jax.random.key(0), I, H, L)
+    x0 = jax.random.normal(jax.random.key(1), (T, B, I)) * 0.5
     h0 = jax.random.normal(jax.random.key(2), (L, B, H)) * 0.1
+    wih0, bih0 = layers[0]["w_ih"], layers[0]["b_ih"]
     wih = jnp.stack([l["w_ih"] for l in layers[1:]])
     bih = jnp.stack([l["b_ih"] for l in layers[1:]])
     whh = jnp.stack([l["w_hh"] for l in layers])
     bhh = jnp.stack([l["b_hh"] for l in layers])
 
-    def ref(gi0, wih, bih, whh, bhh, h0):
+    def ref(x0, wih0, bih0, wih, bih, whh, bhh, h0):
+        # bf16 matmul operands like the kernel (same alignment as the
+        # scan_x test) — else gate trajectories diverge enough to push a
+        # few weight/bias-grad elements past rtol
         from molvax.nn.gru import gru_layer_recurrence
 
+        bf = jnp.bfloat16
+        dot = lambda a, spec, b: jnp.einsum(
+            spec, a.astype(bf), b.astype(bf),
+            preferred_element_type=jnp.float32,
+        )
+        gi = dot(x0, "tbi,ig->tbg", wih0) + bih0
         h_seq, _ = gru_layer_recurrence(
-            {"w_hh": whh[0], "b_hh": bhh[0]}, gi0, h0[0]
+            {"w_hh": whh[0], "b_hh": bhh[0]}, gi, h0[0], compute_dtype=bf
         )
         for li in range(1, L):
-            gi = (
-                jnp.einsum("tbh,hg->tbg", h_seq, wih[li - 1]) + bih[li - 1]
-            )
+            gi = dot(h_seq, "tbh,hg->tbg", wih[li - 1]) + bih[li - 1]
             h_seq, _ = gru_layer_recurrence(
-                {"w_hh": whh[li], "b_hh": bhh[li]}, gi, h0[li]
+                {"w_hh": whh[li], "b_hh": bhh[li]}, gi, h0[li], compute_dtype=bf
             )
         return h_seq
 
@@ -113,14 +132,15 @@ def test_wavefront_h0_and_gi_grads():
         out, _ = gru_stack_scan(*args)
         return jnp.sum(jnp.sin(out))
 
-    out_k, _ = gru_stack_scan(gi0, wih, bih, whh, bhh, h0)
+    args = (x0, wih0, bih0, wih, bih, whh, bhh, h0)
+    out_k, _ = gru_stack_scan(*args)
     np.testing.assert_allclose(
-        np.asarray(out_k), np.asarray(ref(gi0, wih, bih, whh, bhh, h0)),
-        atol=ATOL, rtol=RTOL,
+        np.asarray(out_k), np.asarray(ref(*args)), atol=ATOL, rtol=RTOL,
     )
-    g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(gi0, wih, bih, whh, bhh, h0)
-    g_k = jax.grad(loss_k, argnums=tuple(range(6)))(gi0, wih, bih, whh, bhh, h0)
-    for name, a, b in zip(["dgi0", "dwih", "dbih", "dwhh", "dbhh", "dh0"], g_ref, g_k):
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    g_k = jax.grad(loss_k, argnums=tuple(range(8)))(*args)
+    names = ["dx0", "dwih0", "dbih0", "dwih", "dbih", "dwhh", "dbhh", "dh0"]
+    for name, a, b in zip(names, g_ref, g_k):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=ATOL, rtol=0.1, err_msg=name
         )
@@ -156,6 +176,10 @@ def test_plan_blocks_budget():
     assert _plan_blocks(120, 3, 512, 64) is not None
     # undecomposable batch -> no plan
     assert _plan_blocks(120, 3, 512, 50) is None
+    # moses_scaled's 4xGRU-1024 working set (~167 MB) exceeds the budget,
+    # so 'auto' falls back to the per-layer kernel there (measured the
+    # right call: per-layer 8.8k vs the old stack's ~3.7k at that shape)
+    assert _plan_blocks(120, 4, 1024, 256, 640) is None
     layers1 = init_gru_params(jax.random.key(0), 16, 16, 1)
     assert not stack_plan_ok(layers1, 16, 12)
 
@@ -176,14 +200,15 @@ def test_forward_pallas_kernel_selection(kernel):
 
 
 def test_auto_routing_predicate(monkeypatch):
-    """auto -> fused_stack only at B<=64 on hardware; explicit selection
-    always honored; interpret mode (tests/dryruns) keeps per-layer."""
+    """auto -> fused_stack on hardware at every batch (stack_plan_ok still
+    gates oversize shapes in the caller); explicit selection always
+    honored; interpret mode (tests/dryruns) keeps per-layer."""
     from molvax.kernels import gru as gru_mod
 
     monkeypatch.setattr(gru_mod, "_interpret", lambda: False)
     assert gru_mod._route_stack("auto", 64)
     assert gru_mod._route_stack("auto", 16)
-    assert not gru_mod._route_stack("auto", 256)
+    assert gru_mod._route_stack("auto", 256)
     assert gru_mod._route_stack("fused_stack", 256)
     assert not gru_mod._route_stack("per_layer", 64)
     monkeypatch.setattr(gru_mod, "_interpret", lambda: True)
