@@ -76,12 +76,12 @@ class ModelConfig:
     # numerics agree exactly; off-TPU the call runs in interpret mode.
     use_pallas_automaton: bool = False
     # Which Pallas recurrence serves the decoder when use_pallas is on.
-    # 'auto'/'per_layer' (default): one kernel per layer with the input-gate
-    # GEMM computed in-kernel — the measured winner at every batch/width in
-    # the round-2 full-train-step matrix (bench/step_matrix.py: 29.8k-30.1k
-    # SMILES/s vs the fused stack's 22.1k-22.8k on v5 lite). 'fused_stack'
-    # (all layers in one kernel, weights VMEM-resident) stays selectable
-    # for hardware that prices the trade differently.
+    # 'auto' (default): the fused all-layers stack kernel on hardware
+    # wherever its VMEM plan fits — the round-4 measured winner at every
+    # fitting batch (24.3k/34.8k/37.4k SMILES/s at B=64/256/512 vs the
+    # per-layer kernels' 23.3k/32.2k/34.8k on v5 lite) — with per-layer
+    # kernels serving oversize shapes (4xGRU-1024) and interpret mode.
+    # 'per_layer'/'fused_stack' pin one path for A/Bs and other hardware.
     gru_kernel: str = "auto"
 
     def __post_init__(self):

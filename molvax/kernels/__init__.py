@@ -1,8 +1,9 @@
 """Pallas TPU kernels for the hot ops (SURVEY.md 7 stage 8), each with a jnp
 reference implementation and interpret-mode tests:
 
-  gru.py       - stacked-GRU layer recurrence (the training hot loop)
-  gru_stack.py - opt-in all-layers fused recurrence (weights VMEM-resident)
+  gru.py       - per-layer GRU recurrence kernels + the kernel router
+  gru_stack.py - all-layers fused recurrence (weights VMEM-resident; the
+                 'auto' training path wherever its VMEM plan fits, round 4)
   conv_enc.py  - fused conv encoder (codes -> mu/logvar, one-hot in VMEM)
   sampler.py   - fused reparameterization + KL with the on-chip PRNG
   generate.py  - fully VMEM-resident autoregressive generation loop
