@@ -30,6 +30,9 @@ def rate(cfg, codes, steps=48):
     chunk_fn = make_train_chunk(cfg, K)
     sh = stacked_batch_sharding(mesh)
     n = codes.shape[0]
+    if n < K * batch:  # tile the corpus up to one full chunk (B=1024 case)
+        codes = np.concatenate([codes] * (-(-(K * batch) // n)), axis=0)
+        n = codes.shape[0]
     n_chunks = steps // K
     stacks = [
         jax.device_put(
