@@ -56,6 +56,7 @@ def test_wavefront_matches_reference(B, T, I, H, L):
     [
         (16, 12),  # single-block plan, P=1
         (16, 14),  # multi-block plan (K=2, 7 blocks)
+        (64, 4),  # reference-config block: b_blk=64, P=2 (32-row chains)
         (128, 4),  # P=2 chain interleave (64-row chains) through fwd AND bwd
     ],
 )
