@@ -791,7 +791,7 @@ def pallas_batch_ok(B: int) -> bool:
 # full stacked forward (Pallas path used by the decoder)
 # --------------------------------------------------------------------------
 
-def _route_stack(kernel: str, B: int) -> bool:
+def _route_stack(kernel: str) -> bool:
     """True when gru_forward_pallas should try the fused all-layers kernel.
 
     'auto' routes to the stack on hardware at every batch: with the round-4
@@ -862,7 +862,7 @@ def gru_forward_pallas(
                 file=sys.stderr,
             )
 
-    if _route_stack(kernel, B):
+    if _route_stack(kernel):
         from .gru_stack import gru_forward_wavefront, stack_plan_ok
 
         if stack_plan_ok(layers, B, T):

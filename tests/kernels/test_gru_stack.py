@@ -78,9 +78,10 @@ def test_wavefront_grads_match(B, T):
     g_k = jax.grad(functools.partial(loss, gru_forward_wavefront))(layers, x_seq)
     flat_ref, tdef = jax.tree.flatten(g_ref)
     flat_k, _ = jax.tree.flatten(g_k)
-    # Weight/bias grads sum one bf16-rounded dgi/dgh cotangent per (t, b)
-    # sample (the kernel casts cotangents to bf16 exactly as the residual
-    # stream always did; the jnp reference keeps them fp32), so their
+    # Every leaf here is a weight/bias grad (grad is w.r.t. the layers
+    # pytree only), and each sums one bf16-rounded dgi/dgh cotangent per
+    # (t, b) sample (the kernel casts cotangents to bf16 exactly as the
+    # residual stream always did; the jnp reference keeps them fp32), so
     # absolute drift grows ~sqrt(B*T) — scale atol with the contraction
     # length (192 = the smallest parametrized case).
     atol_w = ATOL * max(1.0, (B * T / 192) ** 0.5 * 1.9)
@@ -200,6 +201,38 @@ def test_forward_pallas_kernel_selection(kernel):
     np.testing.assert_allclose(np.asarray(hf_k), np.asarray(hf_ref), atol=ATOL, rtol=RTOL)
 
 
+def test_grads_match_across_batch_blocks(monkeypatch):
+    """nB=2 grid: the v3 backward's VMEM dW/db accumulators zero only at
+    program_id (0,0) and must accumulate across BOTH batch blocks — the
+    production flagship shape (B=256, b_blk=128) runs this path, but every
+    natural test batch plans to a single block, so force a 16-row block."""
+    monkeypatch.setenv("MOLVAX_GRU_B_BLK", "16")
+    B, T, I, H, L = 32, 4, 9, 130, 2
+    layers = init_gru_params(jax.random.key(0), I, H, L)
+    x_seq = jax.random.normal(jax.random.key(1), (B, T, I))
+    from molvax.kernels.gru_stack import _plan_blocks as pb
+
+    b_blk, K, P = pb(T, L, 130 + 126, B)  # Hp=256
+    assert B // b_blk == 2, "env override must split the batch into 2 blocks"
+
+    def loss(fwd, layers, x):
+        out, h_final = fwd(layers, x)
+        return jnp.mean(out**2) + jnp.sum(jnp.sin(h_final))
+
+    ref_fwd = functools.partial(gru_forward, compute_dtype=jnp.bfloat16)
+    g_ref = jax.grad(functools.partial(loss, ref_fwd))(layers, x_seq)
+    g_k = jax.grad(functools.partial(loss, gru_forward_wavefront))(layers, x_seq)
+    for path, a, b in zip(
+        jax.tree.leaves_with_path(g_ref),
+        jax.tree.leaves(g_ref),
+        jax.tree.leaves(g_k),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=ATOL, rtol=0.1,
+            err_msg=str(path[0]),
+        )
+
+
 def test_auto_routing_predicate(monkeypatch):
     """auto -> fused_stack on hardware at every batch (stack_plan_ok still
     gates oversize shapes in the caller); explicit selection always
@@ -207,14 +240,12 @@ def test_auto_routing_predicate(monkeypatch):
     from molvax.kernels import gru as gru_mod
 
     monkeypatch.setattr(gru_mod, "_interpret", lambda: False)
-    assert gru_mod._route_stack("auto", 64)
-    assert gru_mod._route_stack("auto", 16)
-    assert gru_mod._route_stack("auto", 256)
-    assert gru_mod._route_stack("fused_stack", 256)
-    assert not gru_mod._route_stack("per_layer", 64)
+    assert gru_mod._route_stack("auto")
+    assert gru_mod._route_stack("fused_stack")
+    assert not gru_mod._route_stack("per_layer")
     monkeypatch.setattr(gru_mod, "_interpret", lambda: True)
-    assert not gru_mod._route_stack("auto", 64)
-    assert gru_mod._route_stack("fused_stack", 64)
+    assert not gru_mod._route_stack("auto")
+    assert gru_mod._route_stack("fused_stack")
 
 
 def test_faithful_twin_none_mode_tracks_per_layer():
