@@ -15,7 +15,13 @@ agg_valid >= 0.95 with the aggregate sampler documented as the preset's
 sampling path).
 
     python -m bench.quality_ablation [--steps 16000] [--corpus 250000] \
-        [--eps 0.01 0.1 0.3] [--insample]
+        [--eps 0.01 0.1 0.3] [--seeds 0 1 2] [--insample] \
+        [--gru-kernel per_layer|auto|fused_stack] \
+        [--ss 0.25] [--ss-warmup 5000] [--wd 0.1] [--source synthetic]
+
+``--ss``/``--wd`` set TrainConfig.scheduled_sampling / word_dropout for the
+VERDICT r4 task-2 ablation (the knobs exist since round 1 but had never been
+measured on a trained model); both default 0.0 = the preset's behavior.
 
 Evaluation runs on a 5% HELD-OUT split by default (reconstruction/teacher-
 forced metrics on unseen molecules; novelty and the aggregate-posterior fit
@@ -40,13 +46,19 @@ def run_one(
     source: str = "synthetic",
     seed: int = 0,
     gru_kernel: str = "per_layer",
+    ss: float = 0.0,
+    ss_warmup: int = 5000,
+    wd: float = 0.0,
 ):
     """One 16k-step quality run. ``gru_kernel`` defaults to 'per_layer'
     to match the zinc250k_quality preset's pinned path: the round-4
     seed re-ablation measured the fused stack flipping the eps=0.02
     near-collapse point (same seed: 95.7% recon per-layer vs 21% stack;
     stack seeds {0,1,2} -> {21, 78, 4}% — see the preset docstring).
-    Pass --gru-kernel auto/fused_stack to probe the stack path."""
+    Pass --gru-kernel auto/fused_stack to probe the stack path.
+    ``ss``/``ss_warmup``/``wd``: scheduled-sampling target probability (with
+    its linear warmup length) and word-dropout probability for the round-5
+    measure-or-delete ablation (VERDICT r4 next 2)."""
     import jax
 
     from molvax.config import zinc250k
@@ -67,6 +79,9 @@ def run_one(
             seed=seed,
             kl=dataclasses.replace(cfg.train.kl, free_bits=free_bits),
             log_every=2000,
+            scheduled_sampling=ss,
+            scheduled_sampling_warmup=ss_warmup,
+            word_dropout=wd,
         ),
         data=dataclasses.replace(cfg.data, n_synthetic=corpus, source=source),
     )
@@ -121,6 +136,10 @@ def run_one(
     keep["eps"] = eps
     keep["seed"] = seed
     keep["gru_kernel"] = gru_kernel
+    if ss > 0:
+        keep["ss"] = ss
+    if wd > 0:
+        keep["wd"] = wd
     if holdout:
         keep["holdout"] = True
     keep["train_s"] = round(train_s, 1)
@@ -145,6 +164,11 @@ def main(argv):
     gru_kernel = "per_layer"
     if "--gru-kernel" in argv:
         gru_kernel = argv[argv.index("--gru-kernel") + 1]
+    ss = float(argv[argv.index("--ss") + 1]) if "--ss" in argv else 0.0
+    ss_warmup = (
+        int(argv[argv.index("--ss-warmup") + 1]) if "--ss-warmup" in argv else 5000
+    )
+    wd = float(argv[argv.index("--wd") + 1]) if "--wd" in argv else 0.0
     if "--seeds" in argv:
         i = argv.index("--seeds") + 1
         seeds = []
@@ -170,6 +194,9 @@ def main(argv):
                 source=source,
                 seed=seed,
                 gru_kernel=gru_kernel,
+                ss=ss,
+                ss_warmup=ss_warmup,
+                wd=wd,
             )
             print(json.dumps(out), flush=True)
 

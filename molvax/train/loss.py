@@ -120,6 +120,21 @@ def vae_loss(
     metrics["acc"] = acc_all
     metrics["acc_nonpad"] = acc_nonpad
 
+    # In-batch proxy of evaluate.posterior_prior_metrics' post_std_mean
+    # (aggregate-z std per dim, including the eps-scaled encoder noise;
+    # prior: 1). Posterior collapse drives it toward ~eps_scale (round 4
+    # measured 0.015 on collapsed stack-kernel runs vs O(0.1-1) healthy),
+    # so the train loop's collapse guard (TrainConfig.collapse_std_floor)
+    # can catch a collapsing run at log cadence instead of burning the
+    # full step budget (VERDICT r4 next 1). Elementwise + one batch
+    # reduction: free next to the GRU step.
+    mu32 = mu.astype(jnp.float32)
+    logvar32 = logvar.astype(jnp.float32)
+    var_z = jnp.var(mu32, axis=0) + (cfg.eps_scale**2) * jnp.mean(
+        jnp.exp(logvar32), axis=0
+    )
+    metrics["post_std_batch"] = jnp.mean(jnp.sqrt(var_z))
+
     if properties_pred is not None and properties_true is not None:
         # Targets are standardized per property when the config carries stats
         # (VERDICT r1 weak 7: raw SAS~1-10 / logP~+-5 swamp QED's (0,1)

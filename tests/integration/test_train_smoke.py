@@ -101,6 +101,88 @@ def test_checkpoint_resume(tmp_path):
     assert not np.allclose(np.asarray(p_resumed), np.asarray(p_fresh))
 
 
+def test_post_std_batch_metric_logged():
+    """The collapse-guard metric rides every train-metrics pull."""
+    cfg = tiny_config()
+    ds = synthetic_dataset(64, max_len=32, seed=4)
+    _, history = train(cfg, dataset=ds, max_steps=20, verbose=False)
+    vals = [h["post_std_batch"] for h in history if "post_std_batch" in h]
+    assert vals, "post_std_batch missing from train metrics"
+    assert all(np.isfinite(v) and v > 0 for v in vals)
+
+
+def test_collapse_guard_aborts_and_checkpoints(tmp_path):
+    """An impossible floor trips the guard at the first log pull past the
+    warmup; the run checkpoints at the detection step, then raises."""
+    from molvax.io import checkpoint as ckpt_io
+    from molvax.train.loop import PosteriorCollapseError
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train,
+            log_every=5,
+            checkpoint_dir=ckpt_dir,
+            checkpoint_every=1000,
+            collapse_std_floor=1e6,  # any real value is below this
+            collapse_guard_after=0,
+        ),
+    )
+    ds = synthetic_dataset(64, max_len=32, seed=5)
+    with pytest.raises(PosteriorCollapseError):
+        train(cfg, dataset=ds, max_steps=40, verbose=False)
+    mgr = ckpt_io.make_manager(ckpt_dir)
+    assert mgr.latest_step() == 5, "guard should checkpoint before raising"
+
+
+def test_collapse_guard_warn_only_completes():
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train,
+            log_every=5,
+            collapse_std_floor=1e6,
+            collapse_guard_after=0,
+            collapse_abort=False,
+        ),
+    )
+    ds = synthetic_dataset(64, max_len=32, seed=6)
+    state, history = train(cfg, dataset=ds, max_steps=15, verbose=False)
+    assert int(jax.device_get(state.step)) == 15
+
+
+def test_collapse_guard_chunked_trainer():
+    """The guard also fires on the fused-chunk path's stacked metrics."""
+    from molvax.train.loop import PosteriorCollapseError
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train,
+            log_every=4,
+            train_chunk_size=4,
+            collapse_std_floor=1e6,
+            collapse_guard_after=0,
+        ),
+    )
+    ds = synthetic_dataset(64, max_len=32, seed=7)
+    with pytest.raises(PosteriorCollapseError):
+        train(cfg, dataset=ds, max_steps=16, verbose=False)
+
+
+def test_collapse_guard_off_by_default():
+    """floor=0.0 (every preset except quality) disables the guard even on
+    a genuinely tiny-spread posterior."""
+    cfg = tiny_config(eps_scale=1e-4)
+    ds = synthetic_dataset(64, max_len=32, seed=8)
+    state, _ = train(cfg, dataset=ds, max_steps=10, verbose=False)
+    assert int(jax.device_get(state.step)) == 10
+
+
 def test_sampling_after_training():
     cfg = tiny_config()
     ds = synthetic_dataset(128, max_len=32, seed=0)

@@ -162,3 +162,27 @@ def test_vae_loss_property_term():
     )
     assert float(joint) == pytest.approx(float(base) + 2.0 * 1.0, rel=1e-6)
     assert "prop_mse" in metrics
+
+
+def test_post_std_batch_metric_value():
+    """post_std_batch = mean_d sqrt(var_batch(mu_d) + eps^2 * mean(e^logvar_d))
+    — the in-batch proxy of evaluate's aggregate post_std_mean that feeds the
+    train-loop collapse guard."""
+    cfg = ModelConfig(max_len=5, charset_size=7, latent_dim=3, eps_scale=0.5)
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(4, 5, 7)).astype(np.float32))
+    codes = jnp.asarray(rng.integers(0, 7, size=(4, 5)))
+    mu = jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))
+    logvar = jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))
+    _, metrics = vae_loss(cfg, logits, codes, mu, logvar, jnp.float32(1.0))
+    var_z = np.var(np.asarray(mu), axis=0) + 0.25 * np.mean(
+        np.exp(np.asarray(logvar)), axis=0
+    )
+    expected = float(np.mean(np.sqrt(var_z)))
+    assert float(metrics["post_std_batch"]) == pytest.approx(expected, rel=1e-5)
+    # collapse direction: identical means + tiny eps -> metric ~ eps-noise
+    cfg2 = ModelConfig(max_len=5, charset_size=7, latent_dim=3, eps_scale=0.02)
+    mu_c = jnp.zeros((4, 3))
+    logvar_c = jnp.zeros((4, 3))
+    _, m2 = vae_loss(cfg2, logits, codes, mu_c, logvar_c, jnp.float32(1.0))
+    assert float(m2["post_std_batch"]) == pytest.approx(0.02, rel=1e-4)
