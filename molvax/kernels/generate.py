@@ -60,6 +60,12 @@ def _interpret() -> bool:
 def generation_kernel_supported(cfg: ModelConfig, batch: int) -> bool:
     if _interpret() or cfg.decoder_conditioning != "teacher_forced":
         return False
+    # bf16-only kernel: a strict-fp32 config falls back to the fp32 lax.scan
+    # path so the declared dtype is honored (VERDICT r4 next 4)
+    from ..utils import matmul_dtype
+
+    if matmul_dtype(cfg) != jnp.bfloat16:
+        return False
     if batch % _B_BLK != 0:
         return False
     Hp = _round_up(cfg.gru_hidden, 128)

@@ -29,9 +29,12 @@ Strategy (SURVEY.md 7 stage 8a):
 
 Numerics: matmuls bf16 with fp32 accumulation; h carry and gate adds fp32;
 residuals and h_seq stored bf16 (halves HBM traffic; fp32 master state never
-leaves the kernel mid-sweep). Lane padding: H rounds up to 128 with gates
-stored padded-per-gate ([r|z|n] each Hp wide) so slice boundaries stay
-lane-aligned.
+leaves the kernel mid-sweep). A strict-fp32 mode (matmul_dtype='float32' on
+gru_layer_scan_x, selected by compute_dtype='float32' configs) keeps every
+operand, residual, and cotangent fp32 — the dtype contract of VERDICT r4
+next 4; ~2x HBM traffic and fp32 MXU rate, measured cost in BASELINE.md.
+Lane padding: H rounds up to 128 with gates stored padded-per-gate ([r|z|n]
+each Hp wide) so slice boundaries stay lane-aligned.
 
 The jnp reference is molvax.nn.gru.gru_layer_recurrence; tests/kernels/
 check interpret-mode agreement incl. gradients (SURVEY.md 4.3).
@@ -53,7 +56,7 @@ Array = jax.Array
 
 _B_BLK = 128  # preferred batch rows per grid block
 _B_MIN = 16  # bf16 sublane granule: block batch dims must be multiples
-_warned_fp32 = False  # one-time bf16-kernel notice (see gru_forward_pallas)
+_warned_fp32 = False  # one-time fused_stack-is-bf16-only notice (gru_forward_pallas)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -93,7 +96,18 @@ def _time_block(T: int, Hp: int, bytes_per_row: int, b_blk: int) -> int:
     in/out/residual blocks fit the device's streaming VMEM budget (weights +
     scratch reserved out of the budget; see kernels/tpu_info.py).
     bytes_per_row = per-timestep bytes per batch row (fwd: gi 6 + hseq 2 +
-    rzn 6 + ghn 2 = 16*Hp bf16-ish; bwd: 26*Hp)."""
+    rzn 6 + ghn 2 = 16*Hp bf16-ish; bwd: 26*Hp).
+
+    MOLVAX_GRU_TIME_BLK forces K for overhead sweeps (round 5: measuring
+    the per-grid-step overhead slope at Hp=1024 to bound what a small-K
+    sub-stack plan would cost — see docs/PERFORMANCE.md stack ceiling)."""
+    import os
+
+    forced = os.environ.get("MOLVAX_GRU_TIME_BLK")
+    if forced:
+        fk = int(forced)
+        if T % fk == 0:
+            return fk
     from .tpu_info import stream_budget
 
     budget = stream_budget()
@@ -440,7 +454,7 @@ gru_layer_scan.defvjp(_vjp_fwd, _vjp_bwd)
 
 def _fwd_kernel_x(
     x_ref, wih_ref, bih_ref, whh_ref, bhh_ref, h0_ref, hseq_ref, rzn_ref,
-    ghn_ref, h_scr, *, n_chains: int,
+    ghn_ref, h_scr, *, n_chains: int, md=jnp.bfloat16,
 ):
     K = x_ref.shape[0]
     b_blk, Hp = h0_ref.shape
@@ -469,7 +483,7 @@ def _fwd_kernel_x(
         )
         gh = (
             jnp.dot(
-                h[c].astype(jnp.bfloat16), whh_ref[:],
+                h[c].astype(md), whh_ref[:],
                 preferred_element_type=jnp.float32,
             )
             + bhh_ref[:]
@@ -482,11 +496,9 @@ def _fwd_kernel_x(
         ghn = gh[:, 2 * Hp :]
         n = jnp.tanh(gi[:, 2 * Hp :] + r * ghn)
         h[c] = (1.0 - z) * n + z * h[c]
-        hseq_ref[k, rows(c)] = h[c].astype(jnp.bfloat16)
-        rzn_ref[k, rows(c)] = jnp.concatenate([r, z, n], axis=-1).astype(
-            jnp.bfloat16
-        )
-        ghn_ref[k, rows(c)] = ghn.astype(jnp.bfloat16)
+        hseq_ref[k, rows(c)] = h[c].astype(md)
+        rzn_ref[k, rows(c)] = jnp.concatenate([r, z, n], axis=-1).astype(md)
+        ghn_ref[k, rows(c)] = ghn.astype(md)
 
     if P == 1:
         for k in range(K):
@@ -511,17 +523,21 @@ def _fwd_kernel_x(
         h_scr[rows(c)] = h[c]
 
 
-@jax.jit
-def _fwd_call_x(x_p, wih_p, bih_p, whh_p, bhh_p, h0_p):
+@functools.partial(jax.jit, static_argnames=("md_name",))
+def _fwd_call_x(x_p, wih_p, bih_p, whh_p, bhh_p, h0_p, md_name="bfloat16"):
+    md = jnp.dtype(md_name)
+    itm = md.itemsize
     T, B, Ip = x_p.shape
     Hp = h0_p.shape[1]
     Gp = 3 * Hp
     b_blk = _pick_b_blk(B) or B
-    K = _time_block(T, Hp, 2 * (Ip + 5 * Hp), b_blk)
+    K = _time_block(T, Hp, itm * (Ip + 5 * Hp), b_blk)
     nB, nT = B // b_blk, T // K
     const = lambda b, t: (0, 0)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel_x, n_chains=_pick_chains(b_blk)),
+        functools.partial(
+            _fwd_kernel_x, n_chains=_pick_chains(b_blk), md=md
+        ),
         grid=(nB, nT),
         in_specs=[
             pl.BlockSpec((K, b_blk, Ip), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
@@ -537,9 +553,9 @@ def _fwd_call_x(x_p, wih_p, bih_p, whh_p, bhh_p, h0_p):
             pl.BlockSpec((K, b_blk, Hp), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, Hp), jnp.bfloat16),
-            jax.ShapeDtypeStruct((T, B, Gp), jnp.bfloat16),
-            jax.ShapeDtypeStruct((T, B, Hp), jnp.bfloat16),
+            jax.ShapeDtypeStruct((T, B, Hp), md),
+            jax.ShapeDtypeStruct((T, B, Gp), md),
+            jax.ShapeDtypeStruct((T, B, Hp), md),
         ],
         scratch_shapes=[pltpu.VMEM((b_blk, Hp), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
@@ -564,6 +580,7 @@ def _bwd_kernel_x(
     dh_scr,
     *,
     n_chains: int,
+    md=jnp.bfloat16,
 ):
     K = dy_ref.shape[0]
     b_blk, Hp = dh0_ref.shape
@@ -610,17 +627,17 @@ def _bwd_kernel_x(
         dgi = jnp.concatenate([drpre, dz, dn], axis=-1)
         dgh = jnp.concatenate([drpre, dz, dghn], axis=-1)
         dh[c] = dout * z + jnp.dot(
-            dgh.astype(jnp.bfloat16), wt_ref[:], preferred_element_type=jnp.float32
+            dgh.astype(md), wt_ref[:], preferred_element_type=jnp.float32
         )
         # dx has no dependence on the serial reverse chain — MXU co-work
         # that overlaps the dgh @ W_hh^T latency (mirror of the forward's
         # in-kernel input-gate dot), and it replaces a (T,B,3H)-reading
         # einsum outside the kernel.
         dx_ref[k, rows(c)] = jnp.dot(
-            dgi.astype(jnp.bfloat16), wihT_ref[:], preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16)
-        dgis[k][c] = dgi.astype(jnp.bfloat16)
-        dghs[k][c] = dgh.astype(jnp.bfloat16)
+            dgi.astype(md), wihT_ref[:], preferred_element_type=jnp.float32
+        ).astype(md)
+        dgis[k][c] = dgi.astype(md)
+        dghs[k][c] = dgh.astype(md)
 
     if P == 1:
         for k in range(K - 1, -1, -1):
@@ -649,7 +666,7 @@ def _bwd_kernel_x(
     # matching hprev_flat/x_flat's k-major reshape row for row.
     dgi_flat = jnp.concatenate(
         [p for ks in dgis for p in ks], axis=0
-    )  # (K*b, Gp) bf16
+    )  # (K*b, Gp) matmul dtype
     dgh_flat = jnp.concatenate([p for ks in dghs for p in ks], axis=0)
     hprev_flat = hprev_ref[:].reshape(K * b_blk, Hp)
     x_flat = x_ref[:].reshape(K * b_blk, x_ref.shape[2])
@@ -668,20 +685,25 @@ def _bwd_kernel_x(
         dh0_ref[:] = dh_scr[:]
 
 
-@jax.jit
-def _bwd_call_x(dy_p, rzn, ghn, hprev_p, x_p, wt_p, wihT_p):
+@functools.partial(jax.jit, static_argnames=("md_name",))
+def _bwd_call_x(dy_p, rzn, ghn, hprev_p, x_p, wt_p, wihT_p, md_name="bfloat16"):
+    md = jnp.dtype(md_name)
+    itm = md.itemsize
     T, B, Hp = dy_p.shape
     Gp = 3 * Hp
     Ip = wihT_p.shape[1]
     b_blk = _pick_b_blk(B) or B
-    # streamed rows: dy f32 4 + rzn 6 + ghn 2 + hprev 2 + x 2Ip + dx out 2Ip
-    # (double-buffered by _time_block) + block-local dgi/dgh lists 12 (once)
-    K = _time_block(T, Hp, 20 * Hp + 4 * Ip, b_blk)
+    # streamed rows (bf16, itm=2): dy f32 4 + rzn 6 + ghn 2 + hprev 2 +
+    # x 2Ip + dx out 2Ip (double-buffered by _time_block) + block-local
+    # dgi/dgh lists 12 (once); itm scales the non-dy terms for fp32 mode
+    K = _time_block(T, Hp, (4 + 8 * itm) * Hp + 2 * itm * Ip, b_blk)
     nB, nT = B // b_blk, T // K
     rev3 = lambda b, t: (nT - 1 - t, b, 0)
     const = lambda b, t: (0, 0)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel_x, n_chains=_pick_chains(b_blk)),
+        functools.partial(
+            _bwd_kernel_x, n_chains=_pick_chains(b_blk), md=md
+        ),
         grid=(nB, nT),
         in_specs=[
             pl.BlockSpec((K, b_blk, Hp), rev3, memory_space=pltpu.VMEM),
@@ -701,7 +723,7 @@ def _bwd_call_x(dy_p, rzn, ghn, hprev_p, x_p, wt_p, wihT_p):
             pl.BlockSpec((1, Gp), const, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, Ip), jnp.bfloat16),  # dx
+            jax.ShapeDtypeStruct((T, B, Ip), md),  # dx
             jax.ShapeDtypeStruct((B, Hp), jnp.float32),  # dh0
             jax.ShapeDtypeStruct((Ip, Gp), jnp.float32),  # dw_ih
             jax.ShapeDtypeStruct((1, Gp), jnp.float32),  # db_ih
@@ -714,58 +736,82 @@ def _bwd_call_x(dy_p, rzn, ghn, hprev_p, x_p, wt_p, wihT_p):
     )(dy_p, rzn, ghn, hprev_p, x_p, wt_p, wihT_p)
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gru_layer_scan_x_md(
+    md_name: str, x_seq: Array, w_ih: Array, b_ih: Array, w_hh: Array,
+    b_hh: Array, h0: Array,
+) -> Array:
+    h_seq, _ = _fwd_impl_x(md_name, x_seq, w_ih, b_ih, w_hh, b_hh, h0)
+    return h_seq
+
+
 def gru_layer_scan_x(
-    x_seq: Array, w_ih: Array, b_ih: Array, w_hh: Array, b_hh: Array, h0: Array
+    x_seq: Array,
+    w_ih: Array,
+    b_ih: Array,
+    w_hh: Array,
+    b_hh: Array,
+    h0: Array,
+    matmul_dtype: str = "bfloat16",
 ) -> Array:
     """One full GRU layer — input gates computed IN-kernel from x.
 
     x_seq: (T, B, I), w_ih: (I, 3H), w_hh: (H, 3H), h0: (B, H)
     returns h_seq (T, B, H) fp32. Same math/gate order as gru_layer_scan,
     but the x @ W_ih GEMM rides inside the recurrence kernel where it
-    overlaps the serial chain (see _fwd_kernel_x). Numerics: x is cast bf16
-    for the dot; gi stays fp32 (no bf16 store round-trip — the hoisted
-    variant rounds gi at the kernel boundary)."""
-    h_seq, _ = _fwd_impl_x(x_seq, w_ih, b_ih, w_hh, b_hh, h0)
-    return h_seq
+    overlaps the serial chain (see _fwd_kernel_x).
+
+    ``matmul_dtype`` (VERDICT r4 next 4, the dtype contract): 'bfloat16'
+    (default, the measured production mode — fp32 gate math/accumulation/
+    carries, bf16 matmul operands and residual stores) or 'float32' (strict
+    mode: every operand, residual, and cotangent stays fp32, so
+    compute_dtype='float32' configs get exactly the dtype they declare;
+    fwd+bwd both honor it). gi stays fp32 either way (no store round-trip
+    — the hoisted variant rounds gi at the kernel boundary)."""
+    return _gru_layer_scan_x_md(
+        str(matmul_dtype), x_seq, w_ih, b_ih, w_hh, b_hh, h0
+    )
 
 
-def _fwd_impl_x(x_seq, w_ih, b_ih, w_hh, b_hh, h0):
+def _fwd_impl_x(md_name, x_seq, w_ih, b_ih, w_hh, b_hh, h0):
+    md = jnp.dtype(md_name)
     T, B, I = x_seq.shape
     H = w_hh.shape[0]
     Hp = _round_up(H, 128)
     Ip = _round_up(I, 128)
-    x_p = _pad_tail(x_seq, 2, Ip).astype(jnp.bfloat16)
-    wih_p = _pad_gates(_pad_tail(w_ih, 0, Ip), H, Hp).astype(jnp.bfloat16)
+    x_p = _pad_tail(x_seq, 2, Ip).astype(md)
+    wih_p = _pad_gates(_pad_tail(w_ih, 0, Ip), H, Hp).astype(md)
     bih_p = _pad_gates(b_ih, H, Hp).astype(jnp.float32)[None, :]
-    whh_p = _pad_gates(_pad_tail(w_hh, 0, Hp), H, Hp).astype(jnp.bfloat16)
+    whh_p = _pad_gates(_pad_tail(w_hh, 0, Hp), H, Hp).astype(md)
     bhh_p = _pad_gates(b_hh, H, Hp).astype(jnp.float32)[None, :]
     h0_p = _pad_tail(h0.astype(jnp.float32), 1, Hp)
-    hseq_p, rzn, ghn = _fwd_call_x(x_p, wih_p, bih_p, whh_p, bhh_p, h0_p)
+    hseq_p, rzn, ghn = _fwd_call_x(
+        x_p, wih_p, bih_p, whh_p, bhh_p, h0_p, md_name=md_name
+    )
     h_seq = hseq_p[..., :H].astype(jnp.float32)
     return h_seq, (rzn, ghn, hseq_p, h0_p, x_p, wih_p, w_hh, I)
 
 
-def _vjp_fwd_x(x_seq, w_ih, b_ih, w_hh, b_hh, h0):
-    return _fwd_impl_x(x_seq, w_ih, b_ih, w_hh, b_hh, h0)
+def _vjp_fwd_x(md_name, x_seq, w_ih, b_ih, w_hh, b_hh, h0):
+    return _fwd_impl_x(md_name, x_seq, w_ih, b_ih, w_hh, b_hh, h0)
 
 
-def _vjp_bwd_x(res, dY):
+def _vjp_bwd_x(md_name, res, dY):
+    md = jnp.dtype(md_name)
     rzn, ghn, hseq_p, h0_p, x_p, wih_p, w_hh, I = res
     H = w_hh.shape[0]
     T, B, Hp = hseq_p.shape
-    hprev_p = jnp.concatenate([h0_p[None].astype(jnp.bfloat16), hseq_p[:-1]], axis=0)
+    hprev_p = jnp.concatenate([h0_p[None].astype(md), hseq_p[:-1]], axis=0)
     dy_p = _pad_tail(dY.astype(jnp.float32), 2, Hp)
-    wt_p = jnp.swapaxes(_pad_gates(_pad_tail(w_hh, 0, Hp), H, Hp), 0, 1).astype(
-        jnp.bfloat16
-    )
+    wt_p = jnp.swapaxes(_pad_gates(_pad_tail(w_hh, 0, Hp), H, Hp), 0, 1).astype(md)
 
     # All six gradients come out of ONE kernel sweep: dx per-step as MXU
     # co-work on the serial chain, dW/db accumulated in VMEM-resident
     # constant-index blocks across the (batch, time) grid (VERDICT r2 next
     # 2) — the dgi/dgh gate cotangents never touch HBM.
     dx_p, dh0_p, dwih_p, dbih_p, dwhh_p, dbhh_p = _bwd_call_x(
-        dy_p, rzn, ghn, hprev_p, x_p, wt_p, jnp.swapaxes(wih_p, 0, 1)
+        dy_p, rzn, ghn, hprev_p, x_p, wt_p, jnp.swapaxes(wih_p, 0, 1),
+        md_name=md_name,
     )
 
     dw_hh = _unpad_gates(dwhh_p[:H], H, Hp)
@@ -777,7 +823,7 @@ def _vjp_bwd_x(res, dY):
     return dx, dw_ih, db_ih, dw_hh, db_hh, dh0
 
 
-gru_layer_scan_x.defvjp(_vjp_fwd_x, _vjp_bwd_x)
+_gru_layer_scan_x_md.defvjp(_vjp_fwd_x, _vjp_bwd_x)
 
 
 def pallas_batch_ok(B: int) -> bool:
@@ -840,29 +886,34 @@ def gru_forward_pallas(
     rules the fused kernel out, and to the pure-XLA scan when the batch is
     not a multiple of the kernel's batch block (e.g. tiny eval batches).
 
-    Numerics note (ADVICE r2): the kernels are bf16-matmul by design (fp32
-    gate math/accumulation/carries); ``compute_dtype`` governs only the XLA
-    fallback path. A float32 config that lands here still runs bf16 matmuls
-    — warned once below; use use_pallas=False for strict fp32."""
+    Dtype contract (VERDICT r4 next 4): ``compute_dtype`` is HONORED here.
+    'bfloat16' runs the measured production kernels (bf16 matmul operands,
+    fp32 gate math/accumulation/carries). 'float32' runs the per-layer
+    kernels in strict-fp32 mode (gru_layer_scan_x matmul_dtype='float32':
+    fp32 operands, residuals, and cotangents end to end) — the fused-stack
+    kernel is bf16-by-design, so strict fp32 always takes the per-layer
+    path (a pinned kernel='fused_stack' gets a one-time note)."""
     B, T, _ = x_seq.shape
     if not _interpret() and not pallas_batch_ok(B):
         from ..nn.gru import gru_forward
 
         return gru_forward(layers, x_seq, h0, compute_dtype)
-    if compute_dtype not in (jnp.bfloat16, "bfloat16") and not _interpret():
+    strict_fp32 = compute_dtype not in (jnp.bfloat16, "bfloat16")
+    md_name = "float32" if strict_fp32 else "bfloat16"
+    if strict_fp32 and kernel == "fused_stack":
         global _warned_fp32
         if not _warned_fp32:
             _warned_fp32 = True
             import sys
 
             print(
-                "[molvax] note: use_pallas=True routes the GRU through bf16-"
-                "matmul kernels; compute_dtype='float32' applies only to XLA "
-                "paths (set use_pallas=False for strict fp32)",
+                "[molvax] note: the fused-stack kernel is bf16-only; "
+                "compute_dtype='float32' routes the strict-fp32 per-layer "
+                "kernels instead",
                 file=sys.stderr,
             )
 
-    if _route_stack(kernel):
+    if not strict_fp32 and _route_stack(kernel):
         from .gru_stack import gru_forward_wavefront, stack_plan_ok
 
         if stack_plan_ok(layers, B, T):
@@ -880,7 +931,8 @@ def gru_forward_pallas(
         # dot overlaps the serial h@W_hh chain instead of materializing a
         # (T,B,3H) gi array through HBM
         inp = gru_layer_scan_x(
-            inp, layer["w_ih"], layer["b_ih"], layer["w_hh"], layer["b_hh"], h0[li]
+            inp, layer["w_ih"], layer["b_ih"], layer["w_hh"], layer["b_hh"],
+            h0[li], matmul_dtype=md_name,
         )  # (T, B, H)
         finals.append(inp[-1])
     return jnp.swapaxes(inp, 0, 1), jnp.stack(finals)

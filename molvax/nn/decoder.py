@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
+from ..utils import matmul_dtype
 from .encoder import init_linear, linear
 from .gru import gru_forward, init_gru_params
 
@@ -59,7 +60,7 @@ def init_decoder_params(key: Array, cfg: ModelConfig) -> Params:
 
 def latent_embed(params: Params, cfg: ModelConfig, z: Array) -> Array:
     """selu(linear_3(z)) - shared by training decode and generation."""
-    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    cd = matmul_dtype(cfg)
     return jax.nn.selu(linear(params["linear_3"], z, cd))
 
 
@@ -91,7 +92,7 @@ def decode(
 
     ``teacher_onehot`` is required in 'teacher_forced' mode (training /
     teacher-forced eval); 'repeat_z' mode ignores it."""
-    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    cd = matmul_dtype(cfg)
     z_emb = latent_embed(params, cfg, z)
     B = z.shape[0]
     if cfg.decoder_conditioning == "teacher_forced":

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
+from ..utils import matmul_dtype
 
 Array = jax.Array
 Params = Dict[str, Any]
@@ -130,7 +131,7 @@ def encode(
 ) -> Tuple[Array, Array]:
     """x_onehot: (B, T, C) -> (mu, logvar), each (B, latent_dim). fp32 heads
     regardless of compute dtype (bf16 policy, SURVEY.md section 7)."""
-    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    cd = matmul_dtype(cfg)
     if cfg.conv_orientation == "seq":
         h = jnp.swapaxes(x_onehot, 1, 2)  # (B, C, T): channels=charset
     else:

@@ -113,7 +113,17 @@ def forward(
     identity — free-running round-trip non-pad accuracy ~9%). Pass None
     when off."""
     kl = None
-    if cfg.use_pallas and _use_pallas_here():
+    # The fused encoder kernel is bf16-matmul by design; a strict-fp32
+    # config (compute_dtype='float32', the honored dtype contract) takes
+    # the XLA encode path, which runs exactly the declared dtype. The
+    # fused sampler is fp32-internal either way.
+    from ..utils import matmul_dtype
+
+    if (
+        cfg.use_pallas
+        and _use_pallas_here()
+        and matmul_dtype(cfg) == jnp.bfloat16
+    ):
         from ..kernels.conv_enc import fused_encode
         from ..kernels.sampler import fused_sample_kl
 

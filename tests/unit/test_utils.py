@@ -28,3 +28,22 @@ def test_checked_raises_on_nan():
 
     with pytest.raises(Exception, match="non-finite"):
         checked(f)(jnp.array([1.0, float("nan")]))
+
+
+def test_matmul_dtype_resolution():
+    """compute_dtype contract: 'float32'/'bfloat16' are literal; 'auto'
+    resolves by backend (fp32 on the CPU test backend)."""
+    import jax.numpy as jnp
+
+    from molvax.config import ModelConfig, chemvae_5k
+    from molvax.utils import matmul_dtype
+
+    assert matmul_dtype(ModelConfig(compute_dtype="float32")) == jnp.float32
+    assert matmul_dtype(ModelConfig(compute_dtype="bfloat16")) == jnp.bfloat16
+    # tests run on the CPU backend -> auto means fp32 here
+    assert matmul_dtype(ModelConfig(compute_dtype="auto")) == jnp.float32
+    assert chemvae_5k().model.compute_dtype == "auto"
+    import pytest
+
+    with pytest.raises(AssertionError):
+        ModelConfig(compute_dtype="float16")
