@@ -99,8 +99,21 @@ def run_one(
         # --holdout: reconstruction/teacher-forced metrics on data the
         # model never saw; novelty/aggregate-fit stay on the train split
         train_ds, eval_ds = ds.split(0.05, cfg.data.seed)
+    # Observability (round 5: a wedged axon tunnel stalled a 3-seed batch
+    # invisibly for 30 min): MOLVAX_METRICS_DIR writes each run's step
+    # metrics as JSONL so progress/stalls are visible from outside.
+    import os
+
+    mdir = os.environ.get("MOLVAX_METRICS_DIR")
+    mpath = None
+    if mdir:
+        os.makedirs(mdir, exist_ok=True)
+        mpath = os.path.join(
+            mdir,
+            f"eps{eps:g}_seed{seed}_ss{ss:g}_wd{wd:g}_{gru_kernel}.jsonl",
+        )
     t0 = time.time()
-    state, _ = train(cfg, dataset=train_ds, verbose=False)
+    state, _ = train(cfg, dataset=train_ds, verbose=False, metrics_path=mpath)
     train_s = time.time() - t0
     report = evaluate(
         state,

@@ -310,6 +310,14 @@ def zinc250k_quality() -> Config:
         train=dataclasses.replace(
             cfg.train,
             kl=dataclasses.replace(cfg.train.kl, free_bits=0.1),
+            # Collapse guard ON for this preset (round 5): it operates at
+            # the measured collapse boundary, where round 4 saw runs train
+            # 16k steps to a collapsed latent silently (post_std down to
+            # 0.015 vs O(0.1-1) healthy). Floor 0.05 splits the two
+            # regimes; past step 2000 a crossing checkpoints and aborts
+            # (PosteriorCollapseError) instead of burning the budget.
+            collapse_std_floor=0.05,
+            collapse_guard_after=2000,
         ),
     )
 
