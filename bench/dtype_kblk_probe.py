@@ -63,6 +63,15 @@ def main(argv):
         print(json.dumps(out), flush=True)
     elif mode == "kblk":
         k = os.environ.get("MOLVAX_GRU_TIME_BLK", "auto")
+        if k != "auto" and k:
+            if 120 % int(k):
+                # _time_block silently falls back to the auto plan for a
+                # non-dividing K; refusing here keeps the overhead-slope
+                # data honest (review finding round 5)
+                raise SystemExit(
+                    f"MOLVAX_GRU_TIME_BLK={k} does not divide T=120; "
+                    "the kernel would ignore it"
+                )
         cfg = _cfg("moses_scaled", B, gru_kernel="per_layer")
         # single-chip probe: drop the preset's 8-chip mesh request
         cfg = dataclasses.replace(

@@ -110,8 +110,13 @@ def run_one(
         os.makedirs(mdir, exist_ok=True)
         mpath = os.path.join(
             mdir,
-            f"eps{eps:g}_seed{seed}_ss{ss:g}_wd{wd:g}_{gru_kernel}.jsonl",
+            f"eps{eps:g}_seed{seed}_ss{ss:g}_wd{wd:g}_{gru_kernel}"
+            f"_s{steps}_L{latent_dim or 'def'}_{source}.jsonl",
         )
+        # MetricsLogger appends; a re-run of the identical config must not
+        # interleave two step streams into one file
+        if os.path.exists(mpath):
+            os.remove(mpath)
     t0 = time.time()
     state, _ = train(cfg, dataset=train_ds, verbose=False, metrics_path=mpath)
     train_s = time.time() - t0

@@ -211,9 +211,13 @@ def chemvae_5k() -> Config:
     """Preset 1: reference ChemVAE on a 5k ZINC subset, batch 64 (CPU-runnable;
     use_pallas engages the fused kernels on TPU - the batch-64 block variant,
     VERDICT r1 weak 2 - and falls back to the jnp path elsewhere).
-    compute_dtype='auto' declares the platform policy this preset always
-    ran (bf16 kernels on TPU — the benched 25-26k SMILES/s path — fp32 on
-    CPU); a strict-fp32 TPU run is one override away."""
+    compute_dtype='auto' resolves to bf16 on TPU / fp32 on CPU. vs the
+    round-4 benched TPU runs (which ran bf16 kernels but fp32 XLA-side
+    linears under the then-unhonored 'float32' setting), 'auto' also moves
+    the small latent-embed/logit-head XLA matmuls to bf16 (~3% of FLOPs;
+    loss/KL/accumulation stay fp32 by design) — re-gated on hardware by
+    bench.tpu_validation and the in-bench numerics checks. A strict-fp32
+    TPU run is one override away and now means what it says."""
     return Config(
         name="chemvae_5k",
         model=ModelConfig(use_pallas=True, compute_dtype="auto"),

@@ -50,9 +50,10 @@ def generate(
     never sees its own outputs - reference behavior).
 
     CONTRACT NOTE: when ``cfg.use_pallas_generation`` routes to the fused
-    VMEM-resident kernel (TPU, supported shapes, unconstrained
-    teacher-forced decode), logits are never materialized and the second
-    return value is **None**. Callers that consume logits must force the
+    VMEM-resident kernel (TPU, supported shapes, bf16-resolved
+    compute_dtype — a strict-fp32 config always takes the fp32 scan,
+    VERDICT r4 next 4 — unconstrained teacher-forced decode), logits are
+    never materialized and the second return value is **None**. Callers that consume logits must force the
     scan path (``dataclasses.replace(cfg, use_pallas_generation=False)``)
     or they will pass every CPU test and break only on TPU production
     presets.

@@ -436,8 +436,14 @@ def train(
         )
         if cfg.train.collapse_abort:
             if manager is not None:
-                ckpt_io.save(manager, s, state)
+                # Save under the CURRENT host step: with the fused-chunk
+                # trainer, detection step s can sit mid-chunk while `state`
+                # is already the post-chunk state — labeling the checkpoint
+                # with s would make the orbax step disagree with the saved
+                # step counter (review finding round 5).
+                ckpt_io.save(manager, step_now, state)
                 manager.wait_until_finished()
+                msg += f" — checkpointed at step {step_now}"
             raise PosteriorCollapseError(msg)
         if not guard_hot["warned"]:
             print(msg + " - continuing (collapse_abort=False)", file=sys.stderr)
