@@ -120,3 +120,39 @@ def test_scaled_config_shapes():
     codes = _batch(dataclasses.replace(cfg, max_len=120), n=2)
     out = vae.forward(params, cfg, jax.random.key(1), codes)
     assert out.logits.shape == (2, 120, cfg.charset_size)
+
+
+def test_fp32_config_routes_around_fused_encoder(monkeypatch):
+    """The dtype contract's routing gate: even with the Pallas backend
+    reported available, a strict-fp32 config must take the XLA encode path
+    (the fused conv kernel is bf16-only). On CPU the fused kernel would
+    diverge/interpret; the gate means this forward runs the fp32 XLA path
+    and matches encode+reparameterize exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import molvax.nn.vae as vae_mod
+    from molvax.config import ModelConfig
+    from molvax.data import DEFAULT_CHARSET
+
+    monkeypatch.setattr(vae_mod, "_use_pallas_here", lambda: True)
+    cfg = ModelConfig(
+        max_len=32,
+        charset_size=DEFAULT_CHARSET.size,
+        latent_dim=12,
+        enc_hidden=16,
+        gru_hidden=16,
+        gru_layers=2,
+        use_pallas=True,
+        compute_dtype="float32",
+    )
+    params = vae_mod.init_vae_params(jax.random.key(0), cfg)
+    codes = jax.random.randint(
+        jax.random.key(1), (4, 32), 0, cfg.charset_size
+    ).astype(jnp.uint8)
+    out = vae_mod.forward(params, cfg, jax.random.key(2), codes)
+    assert out.kl is None, "fused sampler must not run under strict fp32"
+    mu_ref, logvar_ref = vae_mod.encode(params, cfg, codes)
+    np.testing.assert_array_equal(np.asarray(out.mu), np.asarray(mu_ref))
+    assert np.all(np.isfinite(np.asarray(out.logits)))
