@@ -237,8 +237,49 @@ def main():
 
     # The dev box reaches its TPU through a remote PJRT tunnel that
     # occasionally drops mid-run (observed outages from minutes to HOURS —
-    # round 3 saw a multi-hour outage); retry with backoff rather than
-    # failing the whole bench on a flake.
+    # round 3 saw a multi-hour outage; round 5 observed a wedge where
+    # dispatches HANG instead of raising, which the retry loop below cannot
+    # catch and which would eat the driver's whole `timeout 570` budget).
+    # Probe liveness in a killable subprocess first and emit an explicit
+    # error JSON if the device never answers — a diagnosable line beats a
+    # silent hang/empty BENCH file.
+    import subprocess
+
+    probe_cmd = (
+        "import jax, jax.numpy as jnp; "
+        "print(float((jnp.ones((128,128))@jnp.ones((128,128))).sum()))"
+    )
+    alive = False
+    for attempt in range(3):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe_cmd],
+                timeout=75,
+                check=True,
+                capture_output=True,
+            )
+            alive = True
+            break
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            print(
+                f"TPU liveness probe failed (attempt {attempt + 1}/3)",
+                file=sys.stderr,
+            )
+            time.sleep(30)
+    if not alive:
+        print(
+            json.dumps(
+                {
+                    "metric": "train_smiles_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "SMILES/sec/chip",
+                    "vs_baseline": 0.0,
+                    "error": "tpu tunnel unreachable: 3x 75s liveness probes hung",
+                    "torch_cpu_smiles_per_sec": round(torch_sps, 1),
+                }
+            )
+        )
+        return
     attempts = 6
     for attempt in range(attempts):
         try:
