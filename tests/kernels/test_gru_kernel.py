@@ -273,3 +273,21 @@ def test_forward_pallas_honors_fp32_policy():
     np.testing.assert_allclose(
         np.asarray(hN_k), np.asarray(hN_ref), atol=1e-5, rtol=1e-5
     )
+
+
+def test_fused_stack_pin_with_fp32_routes_per_layer(capsys):
+    """A pinned kernel='fused_stack' under strict fp32 must not run the
+    bf16-only stack: the dtype contract wins, with a one-time note."""
+    import molvax.kernels.gru as gru_mod
+
+    L, B, T, I, H = 2, 16, 8, 10, 20
+    layers = init_gru_params(jax.random.key(5), I, H, L)
+    x_seq = jax.random.normal(jax.random.key(6), (B, T, I))
+    gru_mod._warned_fp32 = False
+    out_k, _ = gru_forward_pallas(
+        layers, x_seq, compute_dtype=jnp.float32, kernel="fused_stack"
+    )
+    out_ref, _ = gru_forward(layers, x_seq, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(out_ref), atol=1e-5, rtol=1e-5
+    )
