@@ -18,7 +18,7 @@ sampling path).
         [--eps 0.01 0.1 0.3] [--seeds 0 1 2] [--insample] \
         [--gru-kernel per_layer|auto|fused_stack] \
         [--ss 0.25] [--ss-warmup 5000] [--wd 0.1] [--latent 512] \
-        [--source synthetic]
+        [--grad-clip 1.0] [--lr-schedule cosine] [--source synthetic]
 
 ``--ss``/``--wd`` set TrainConfig.scheduled_sampling / word_dropout for the
 VERDICT r4 task-2 ablation (the knobs exist since round 1 but had never been
@@ -51,6 +51,8 @@ def run_one(
     ss_warmup: int = 5000,
     wd: float = 0.0,
     latent_dim: int = 0,
+    grad_clip: float = 0.0,
+    lr_schedule: str = "constant",
 ):
     """One 16k-step quality run. ``gru_kernel`` defaults to 'per_layer'
     to match the zinc250k_quality preset's pinned path: the round-4
@@ -85,6 +87,9 @@ def run_one(
             scheduled_sampling=ss,
             scheduled_sampling_warmup=ss_warmup,
             word_dropout=wd,
+            grad_clip_norm=grad_clip or None,
+            lr_schedule=lr_schedule,
+            lr_decay_steps=steps,
         ),
         data=dataclasses.replace(cfg.data, n_synthetic=corpus, source=source),
     )
@@ -111,7 +116,8 @@ def run_one(
         mpath = os.path.join(
             mdir,
             f"eps{eps:g}_seed{seed}_ss{ss:g}_wd{wd:g}_{gru_kernel}"
-            f"_s{steps}_L{latent_dim or 'def'}_{source}.jsonl",
+            f"_s{steps}_L{latent_dim or 'def'}"
+            f"_gc{grad_clip:g}_{lr_schedule}_{source}.jsonl",
         )
         # MetricsLogger appends; a re-run of the identical config must not
         # interleave two step streams into one file
@@ -163,6 +169,10 @@ def run_one(
         keep["wd"] = wd
     if latent_dim:
         keep["latent_dim"] = latent_dim
+    if grad_clip:
+        keep["grad_clip"] = grad_clip
+    if lr_schedule != "constant":
+        keep["lr_schedule"] = lr_schedule
     keep["steps"] = steps
     if holdout:
         keep["holdout"] = True
@@ -196,6 +206,16 @@ def main(argv):
     latent_dim = (
         int(argv[argv.index("--latent") + 1]) if "--latent" in argv else 0
     )
+    grad_clip = (
+        float(argv[argv.index("--grad-clip") + 1])
+        if "--grad-clip" in argv
+        else 0.0
+    )
+    lr_schedule = (
+        argv[argv.index("--lr-schedule") + 1]
+        if "--lr-schedule" in argv
+        else "constant"
+    )
     if "--seeds" in argv:
         i = argv.index("--seeds") + 1
         seeds = []
@@ -225,6 +245,8 @@ def main(argv):
                 ss_warmup=ss_warmup,
                 wd=wd,
                 latent_dim=latent_dim,
+                grad_clip=grad_clip,
+                lr_schedule=lr_schedule,
             )
             print(json.dumps(out), flush=True)
 
