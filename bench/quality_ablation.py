@@ -18,7 +18,8 @@ sampling path).
         [--eps 0.01 0.1 0.3] [--seeds 0 1 2] [--insample] \
         [--gru-kernel per_layer|auto|fused_stack] \
         [--ss 0.25] [--ss-warmup 5000] [--wd 0.1] [--latent 512] \
-        [--grad-clip 1.0] [--lr-schedule cosine] [--source synthetic]
+        [--grad-clip 1.0] [--lr-schedule cosine] [--kl cyclical|linear] \
+        [--ema 0.999] [--source synthetic]
 
 ``--ss``/``--wd`` set TrainConfig.scheduled_sampling / word_dropout for the
 VERDICT r4 task-2 ablation (the knobs exist since round 1 but had never been
@@ -53,6 +54,8 @@ def run_one(
     latent_dim: int = 0,
     grad_clip: float = 0.0,
     lr_schedule: str = "constant",
+    kl_kind: str = "cyclical",
+    ema: float = 0.0,
 ):
     """One 16k-step quality run. ``gru_kernel`` defaults to 'per_layer'
     to match the zinc250k_quality preset's pinned path: the round-4
@@ -82,7 +85,18 @@ def run_one(
             cfg.train,
             steps=steps,
             seed=seed,
-            kl=dataclasses.replace(cfg.train.kl, free_bits=free_bits),
+            kl=(
+                dataclasses.replace(cfg.train.kl, free_bits=free_bits)
+                if kl_kind == "cyclical"
+                # monotonic probe: linear warmup to beta_max over the first
+                # quarter of the budget, no mid-training beta restart
+                else dataclasses.replace(
+                    cfg.train.kl,
+                    kind=kl_kind,
+                    warmup_steps=max(steps // 4, 1),
+                    free_bits=free_bits,
+                )
+            ),
             log_every=2000,
             scheduled_sampling=ss,
             scheduled_sampling_warmup=ss_warmup,
@@ -90,6 +104,7 @@ def run_one(
             grad_clip_norm=grad_clip or None,
             lr_schedule=lr_schedule,
             lr_decay_steps=steps,
+            ema_decay=ema,
         ),
         data=dataclasses.replace(cfg.data, n_synthetic=corpus, source=source),
     )
@@ -117,7 +132,8 @@ def run_one(
             mdir,
             f"eps{eps:g}_seed{seed}_ss{ss:g}_wd{wd:g}_{gru_kernel}"
             f"_s{steps}_L{latent_dim or 'def'}"
-            f"_gc{grad_clip:g}_{lr_schedule}_{source}.jsonl",
+            f"_gc{grad_clip:g}_{lr_schedule}_{kl_kind}_e{ema:g}"
+            f"_{source}.jsonl",
         )
         # MetricsLogger appends; a re-run of the identical config must not
         # interleave two step streams into one file
@@ -173,6 +189,10 @@ def run_one(
         keep["grad_clip"] = grad_clip
     if lr_schedule != "constant":
         keep["lr_schedule"] = lr_schedule
+    if kl_kind != "cyclical":
+        keep["kl_kind"] = kl_kind
+    if ema:
+        keep["ema"] = ema
     keep["steps"] = steps
     if holdout:
         keep["holdout"] = True
@@ -216,6 +236,8 @@ def main(argv):
         if "--lr-schedule" in argv
         else "constant"
     )
+    kl_kind = argv[argv.index("--kl") + 1] if "--kl" in argv else "cyclical"
+    ema = float(argv[argv.index("--ema") + 1]) if "--ema" in argv else 0.0
     if "--seeds" in argv:
         i = argv.index("--seeds") + 1
         seeds = []
@@ -247,6 +269,8 @@ def main(argv):
                 latent_dim=latent_dim,
                 grad_clip=grad_clip,
                 lr_schedule=lr_schedule,
+                kl_kind=kl_kind,
+                ema=ema,
             )
             print(json.dumps(out), flush=True)
 

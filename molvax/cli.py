@@ -98,7 +98,11 @@ def _restore(cfg: Config, ckpt_dir: str, args=None):
     state = ckpt_io.restore_latest(manager, init_state(cfg))
     if state is None:
         raise SystemExit(f"no checkpoint found in {ckpt_dir}")
-    return cfg, state, charset
+    # Inference from a checkpoint prefers the EMA (averaged) weights when
+    # the run trained them (TrainConfig.ema_decay > 0)
+    from .train.loop import ema_eval_state
+
+    return cfg, ema_eval_state(state), charset
 
 
 def cmd_sample(args) -> int:

@@ -160,6 +160,14 @@ class TrainConfig:
     collapse_guard_after: int = 1000
     collapse_abort: bool = True
     grad_clip_norm: Optional[float] = None
+    # Exponential moving average of the weights (Polyak averaging), updated
+    # in the jitted step (ema = d*ema + (1-d)*params) and preferred by
+    # evaluation/inference entry points when present. Round-5 motivation:
+    # the quality operating point's held-out round-trip fidelity is
+    # dominated by where in the late-training noise the final step happens
+    # to land (seed trajectories spike and recover); an averaged iterate
+    # evaluates the trajectory's center instead of its endpoint. 0 = off.
+    ema_decay: float = 0.0
     train_chunk_size: int = 1  # optimizer steps fused per device program
     log_every: int = 50
     eval_every: int = 0  # steps between held-out evals (0 = off)
@@ -170,6 +178,7 @@ class TrainConfig:
 
     def __post_init__(self):
         assert self.lr_schedule in ("constant", "cosine", "warmup_cosine")
+        assert 0.0 <= self.ema_decay < 1.0, "ema_decay must be in [0, 1)"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -2,6 +2,7 @@ from .evaluate import evaluate, generation_metrics, reconstruction_metrics
 from .loop import (
     TrainState,
     effective_config,
+    ema_eval_state,
     init_state,
     make_eval_step,
     make_train_chunk,
@@ -17,6 +18,7 @@ __all__ = [
     "reconstruction_metrics",
     "make_train_chunk",
     "TrainState",
+    "ema_eval_state",
     "init_state",
     "make_eval_step",
     "make_train_step",

@@ -511,6 +511,11 @@ def evaluate(
     aggregate-posterior fit must come from data the model trained on.
     With ``train_dataset=None`` both roles fall to ``dataset`` (the
     historical in-sample report)."""
+    from .loop import ema_eval_state
+
+    # EMA weights, when trained, are the evaluation iterate (round-5 seed
+    # study: the last iterate's free-running fidelity is noise-dominated)
+    state = ema_eval_state(state)
     if cfg.model.n_properties > 0 and cfg.model.property_mean is None:
         # train() standardizes property targets via effective_config and the
         # stats persist in the checkpoint's config.json — but a caller who

@@ -57,6 +57,22 @@ class TrainState(NamedTuple):
     opt_state: Any
     step: Array  # () int32
     base_key: Array  # PRNG key; per-step key = fold_in(base_key, step)
+    # Polyak/EMA average of params (TrainConfig.ema_decay > 0), updated
+    # inside the jitted step and preferred by evaluation/inference entry
+    # points via ema_eval_state(). None when EMA is off — a None pytree
+    # leaf keeps old checkpoints structurally compatible.
+    ema_params: Any = None
+
+
+def ema_eval_state(state: TrainState) -> TrainState:
+    """The state evaluation/inference should read: when EMA weights exist,
+    substitute them for the raw (last-iterate) params. The round-5 seed
+    study measured held-out round-trip fidelity varying 38-96% across seeds
+    because the final step lands at a random point of the late-training
+    noise; the averaged iterate evaluates the trajectory's center."""
+    if state.ema_params is None:
+        return state
+    return state._replace(params=state.ema_params, ema_params=None)
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -144,6 +160,11 @@ def init_state(cfg: Config, key: Optional[Array] = None) -> TrainState:
         opt_state=opt_state,
         step=jnp.zeros((), jnp.int32),
         base_key=k_base,
+        ema_params=(
+            jax.tree.map(jnp.copy, params)
+            if cfg.train.ema_decay > 0
+            else None
+        ),
     )
 
 
@@ -161,6 +182,7 @@ def _make_one_step(cfg: Config, optimizer):
     # scheduled-sampling/word-dropout ops at all.
     use_ss = cfg.train.scheduled_sampling > 0
     wd_static = cfg.train.word_dropout if cfg.train.word_dropout > 0 else None
+    ema_decay = cfg.train.ema_decay
 
     def one_step(state: TrainState, batch):
         codes, props = batch
@@ -188,7 +210,17 @@ def _make_one_step(cfg: Config, optimizer):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1, state.base_key), metrics
+        ema = state.ema_params
+        if ema_decay > 0 and ema is not None:
+            ema = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                ema,
+                params,
+            )
+        return (
+            TrainState(params, opt_state, state.step + 1, state.base_key, ema),
+            metrics,
+        )
 
     return one_step
 
