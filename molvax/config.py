@@ -172,6 +172,14 @@ class TrainConfig:
     log_every: int = 50
     eval_every: int = 0  # steps between held-out evals (0 = off)
     eval_batches: int = 4  # batches per eval pass
+    # Free-running round-trip probe at eval cadence: encode -> z=mu ->
+    # greedy decode on this many held-out molecules, logged as
+    # eval_recon_{exact,char_acc,char_acc_nonpad}. Round-5 motivation: the
+    # quality operating point's failure mode is FREE-RUNNING infidelity
+    # with healthy teacher-forced metrics (seed study: 97%+ teacher-forced
+    # acc with 38-53% round-trip), so teacher-forced eval alone cannot see
+    # a failing run. 0 = off.
+    eval_roundtrip_n: int = 0
     checkpoint_every: int = 1000
     checkpoint_dir: Optional[str] = None
     keep_checkpoints: int = 3

@@ -543,6 +543,20 @@ def train(
                     f"eval_{k}": jnp.mean(jnp.stack([m[k] for m in acc]))
                     for k in acc[0]
                 }
+                if cfg.train.eval_roundtrip_n > 0:
+                    # Free-running fidelity probe (config field doc): the
+                    # quality failure mode is invisible to teacher-forced
+                    # metrics, so measure the real thing at eval cadence.
+                    from .evaluate import reconstruction_metrics
+
+                    rt = reconstruction_metrics(
+                        ema_eval_state(state).params,
+                        cfg,
+                        eval_dataset,
+                        jax.random.fold_in(state.base_key, 0x5EED),
+                        n=min(cfg.train.eval_roundtrip_n, len(eval_dataset)),
+                    )
+                    mean.update({f"eval_{k}": v for k, v in rt.items()})
                 history.append(logger.log(step_now, mean))
             if manager is not None and _cadence_crossed(
                 cfg.train.checkpoint_every, prev_step, step_now

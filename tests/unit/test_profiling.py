@@ -119,3 +119,34 @@ def test_eval_every_logs_eval_metrics():
     eval_rows = [h for h in history if "eval_loss" in h]
     assert len(eval_rows) == 2  # steps 5 and 10
     assert all(np.isfinite(r["eval_acc"]) for r in eval_rows)
+
+
+@pytest.mark.slow
+def test_eval_roundtrip_probe_logs_free_running_fidelity():
+    """eval_roundtrip_n > 0: the eval-cadence rows carry free-running
+    round-trip metrics (round 5: the quality failure mode is free-running
+    infidelity with healthy teacher-forced numbers, so train-time eval must
+    measure the real thing)."""
+    from molvax.config import Config, DataConfig, ModelConfig, TrainConfig
+    from molvax.data import DEFAULT_CHARSET, synthetic_dataset
+    from molvax.train import train
+
+    cfg = Config(
+        model=ModelConfig(
+            max_len=32, charset_size=DEFAULT_CHARSET.size, latent_dim=8,
+            enc_hidden=12, gru_hidden=12, gru_layers=1,
+        ),
+        train=TrainConfig(
+            batch_size=8, log_every=100, eval_every=5, eval_batches=1,
+            eval_roundtrip_n=8,
+        ),
+        data=DataConfig(max_len=32, test_fraction=0.25),
+    )
+    ds = synthetic_dataset(64, max_len=32, seed=0)
+    _, history = train(cfg, dataset=ds, max_steps=5, verbose=False)
+    rows = [h for h in history if "eval_recon_exact" in h]
+    assert len(rows) == 1
+    r = rows[0]
+    for k in ("eval_recon_exact", "eval_recon_char_acc",
+              "eval_recon_char_acc_nonpad"):
+        assert 0.0 <= r[k] <= 1.0
