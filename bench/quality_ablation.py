@@ -19,7 +19,7 @@ sampling path).
         [--gru-kernel per_layer|auto|fused_stack] \
         [--ss 0.25] [--ss-warmup 5000] [--wd 0.1] [--latent 512] \
         [--grad-clip 1.0] [--lr-schedule cosine] [--kl cyclical|linear] \
-        [--ema 0.999] [--source synthetic]
+        [--ema 0.999] [--select-best] [--source synthetic]
 
 ``--ss``/``--wd`` set TrainConfig.scheduled_sampling / word_dropout for the
 VERDICT r4 task-2 ablation (the knobs exist since round 1 but had never been
@@ -56,6 +56,7 @@ def run_one(
     lr_schedule: str = "constant",
     kl_kind: str = "cyclical",
     ema: float = 0.0,
+    select_best: bool = False,
 ):
     """One 16k-step quality run. ``gru_kernel`` defaults to 'per_layer'
     to match the zinc250k_quality preset's pinned path: the round-4
@@ -105,6 +106,14 @@ def run_one(
             lr_schedule=lr_schedule,
             lr_decay_steps=steps,
             ema_decay=ema,
+            # --select-best: probe held-out round-trip at eval cadence and
+            # return the best iterate (train() carves its own internal 5%
+            # split from the training split for the probe, so the outer
+            # held-out evaluation below stays selection-unbiased)
+            eval_every=2000 if select_best else 0,
+            eval_batches=1,
+            eval_roundtrip_n=256 if select_best else 0,
+            select_best=select_best,
         ),
         data=dataclasses.replace(cfg.data, n_synthetic=corpus, source=source),
     )
@@ -133,7 +142,7 @@ def run_one(
             f"eps{eps:g}_seed{seed}_ss{ss:g}_wd{wd:g}_{gru_kernel}"
             f"_s{steps}_L{latent_dim or 'def'}"
             f"_gc{grad_clip:g}_{lr_schedule}_{kl_kind}_e{ema:g}"
-            f"_{source}.jsonl",
+            f"{'_sb' if select_best else ''}_{source}.jsonl",
         )
         # MetricsLogger appends; a re-run of the identical config must not
         # interleave two step streams into one file
@@ -193,6 +202,8 @@ def run_one(
         keep["kl_kind"] = kl_kind
     if ema:
         keep["ema"] = ema
+    if select_best:
+        keep["select_best"] = True
     keep["steps"] = steps
     if holdout:
         keep["holdout"] = True
@@ -238,6 +249,7 @@ def main(argv):
     )
     kl_kind = argv[argv.index("--kl") + 1] if "--kl" in argv else "cyclical"
     ema = float(argv[argv.index("--ema") + 1]) if "--ema" in argv else 0.0
+    select_best = "--select-best" in argv
     if "--seeds" in argv:
         i = argv.index("--seeds") + 1
         seeds = []
@@ -271,6 +283,7 @@ def main(argv):
                 lr_schedule=lr_schedule,
                 kl_kind=kl_kind,
                 ema=ema,
+                select_best=select_best,
             )
             print(json.dumps(out), flush=True)
 

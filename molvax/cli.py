@@ -94,8 +94,22 @@ def _restore(cfg: Config, ckpt_dir: str, args=None):
             cfg,
             model=dataclasses.replace(cfg.model, charset_size=charset.size),
         )
-    manager = ckpt_io.make_manager(ckpt_dir)
+    # A train.select_best run records its probe-selected iterate under
+    # best/ — inference prefers it (resume keeps using the top-level
+    # last-step checkpoints, so this only affects read-side entry points).
+    best_dir = os.path.join(ckpt_dir, "best")
+    use_dir = ckpt_dir
+    if os.path.isdir(best_dir):
+        use_dir = best_dir
+        print(
+            f"[molvax] using best-checkpoint selection dir {best_dir}",
+            file=_sys.stderr,
+        )
+    manager = ckpt_io.make_manager(use_dir)
     state = ckpt_io.restore_latest(manager, init_state(cfg))
+    if state is None and use_dir is not ckpt_dir:
+        manager = ckpt_io.make_manager(ckpt_dir)
+        state = ckpt_io.restore_latest(manager, init_state(cfg))
     if state is None:
         raise SystemExit(f"no checkpoint found in {ckpt_dir}")
     # Inference from a checkpoint prefers the EMA (averaged) weights when

@@ -180,6 +180,16 @@ class TrainConfig:
     # acc with 38-53% round-trip), so teacher-forced eval alone cannot see
     # a failing run. 0 = off.
     eval_roundtrip_n: int = 0
+    # Best-checkpoint selection on the round-trip probe (requires
+    # eval_roundtrip_n > 0 and eval_every > 0): train() returns the
+    # highest-probe iterate instead of the last one, and saves it under
+    # <checkpoint_dir>/best/ (inference prefers it; resume keeps using the
+    # regular last-step checkpoints). Round-5 measurement: the training
+    # endpoint at the quality operating point is a noise draw — seed
+    # trajectories pass through >=95% round-trip states but land anywhere
+    # from 38% to 96% at the final step; selecting on the held-out probe
+    # converts that endpoint lottery into a max over the run's eval points.
+    select_best: bool = False
     checkpoint_every: int = 1000
     checkpoint_dir: Optional[str] = None
     keep_checkpoints: int = 3

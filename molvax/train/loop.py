@@ -445,6 +445,32 @@ def train(
     # at ~0.015 vs O(0.1-1) healthy) — kill the run in ~1k steps instead
     # of burning the full budget. Checks ride the existing metric pulls,
     # so the guard costs nothing when logging is on.
+    # Best-checkpoint selection (TrainConfig.select_best doc): track the
+    # highest held-out round-trip probe; the selected iterate is returned
+    # and saved under <checkpoint_dir>/best/, while the regular last-step
+    # checkpoints keep serving preemption/resume.
+    select_best = cfg.train.select_best
+    best = {"metric": -1.0, "state": None, "step": -1}
+    if select_best and (
+        cfg.train.eval_roundtrip_n <= 0
+        or cfg.train.eval_every <= 0
+        or eval_dataset is None
+        or len(eval_dataset) == 0
+    ):
+        print(
+            "[molvax] select_best needs eval_every>0, eval_roundtrip_n>0 "
+            "and a held-out split; falling back to last-step selection",
+            file=sys.stderr,
+        )
+        select_best = False
+
+    def _consider_best(metric: float, st: TrainState, at_step: int):
+        if metric > best["metric"]:
+            best["metric"] = metric
+            # a device-side copy: `st` itself is donated to the next step
+            best["state"] = jax.tree.map(jnp.copy, st)
+            best["step"] = at_step
+
     guard_floor = cfg.train.collapse_std_floor
     guard_hot = {"warned": False}
     if guard_floor > 0 and cfg.train.log_every <= 0:
@@ -557,6 +583,10 @@ def train(
                         n=min(cfg.train.eval_roundtrip_n, len(eval_dataset)),
                     )
                     mean.update({f"eval_{k}": v for k, v in rt.items()})
+                    if select_best:
+                        _consider_best(
+                            rt["recon_char_acc_nonpad"], state, step_now
+                        )
                 history.append(logger.log(step_now, mean))
             if manager is not None and _cadence_crossed(
                 cfg.train.checkpoint_every, prev_step, step_now
@@ -574,6 +604,35 @@ def train(
         if manager is not None:
             ckpt_io.save(manager, step_now, state)
             manager.wait_until_finished()
+        if select_best:
+            # the final iterate competes too (the last step need not land
+            # on the eval cadence)
+            from .evaluate import reconstruction_metrics
+
+            rt = reconstruction_metrics(
+                ema_eval_state(state).params,
+                cfg,
+                eval_dataset,
+                jax.random.fold_in(state.base_key, 0x5EED),
+                n=min(cfg.train.eval_roundtrip_n, len(eval_dataset)),
+            )
+            _consider_best(rt["recon_char_acc_nonpad"], state, step_now)
+            if best["step"] != step_now:
+                print(
+                    f"[molvax] select_best: step {best['step']} probe "
+                    f"{best['metric']:.4f} beats final step {step_now} "
+                    f"({rt['recon_char_acc_nonpad']:.4f}); returning it",
+                    file=sys.stderr,
+                )
+            state = best["state"]
+            if manager is not None:
+                import os
+
+                best_mgr = ckpt_io.make_manager(
+                    os.path.join(cfg.train.checkpoint_dir, "best"), keep=1
+                )
+                ckpt_io.save(best_mgr, best["step"], state)
+                best_mgr.wait_until_finished()
     finally:
         # always restore signal dispositions and flush the logger, even when
         # the loop raises (a wedged handler would make the process

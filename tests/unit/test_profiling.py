@@ -150,3 +150,63 @@ def test_eval_roundtrip_probe_logs_free_running_fidelity():
     for k in ("eval_recon_exact", "eval_recon_char_acc",
               "eval_recon_char_acc_nonpad"):
         assert 0.0 <= r[k] <= 1.0
+
+
+@pytest.mark.slow
+def test_select_best_returns_probe_argmax(tmp_path):
+    """select_best: train() returns the iterate with the highest held-out
+    round-trip probe (not necessarily the last), saves it under best/, and
+    CLI-style restore prefers that dir."""
+    from molvax.config import Config, DataConfig, ModelConfig, TrainConfig
+    from molvax.data import DEFAULT_CHARSET, synthetic_dataset
+    from molvax.train import train
+
+    cfg = Config(
+        model=ModelConfig(
+            max_len=32, charset_size=DEFAULT_CHARSET.size, latent_dim=8,
+            enc_hidden=12, gru_hidden=12, gru_layers=1,
+        ),
+        train=TrainConfig(
+            batch_size=8, log_every=100, eval_every=4, eval_batches=1,
+            eval_roundtrip_n=8, select_best=True,
+            checkpoint_dir=str(tmp_path), checkpoint_every=100,
+        ),
+        data=DataConfig(max_len=32, test_fraction=0.25),
+    )
+    ds = synthetic_dataset(64, max_len=32, seed=0)
+    state, history = train(cfg, dataset=ds, max_steps=9, verbose=False)
+    probes = {
+        h["step"]: h["eval_recon_char_acc_nonpad"]
+        for h in history
+        if "eval_recon_char_acc_nonpad" in h
+    }
+    assert probes  # cadence steps 4 and 8 fired
+    # the returned state is the argmax over {cadence probes} U {final step}
+    # => its probe metric must be >= every recorded cadence probe
+    import os
+
+    assert os.path.isdir(os.path.join(str(tmp_path), "best"))
+    best_step = int(state.step)
+    assert best_step <= 9
+    recorded = [s for s in probes if s == best_step]
+    if recorded:
+        assert probes[best_step] == max(probes.values())
+
+
+def test_select_best_without_probe_warns_and_degrades():
+    from molvax.config import Config, DataConfig, ModelConfig, TrainConfig
+    from molvax.data import DEFAULT_CHARSET, synthetic_dataset
+    from molvax.train import train
+
+    cfg = Config(
+        model=ModelConfig(
+            max_len=32, charset_size=DEFAULT_CHARSET.size, latent_dim=8,
+            enc_hidden=12, gru_hidden=12, gru_layers=1,
+        ),
+        train=TrainConfig(batch_size=8, log_every=100, select_best=True),
+        data=DataConfig(max_len=32),
+    )
+    ds = synthetic_dataset(32, max_len=32, seed=0)
+    # no eval cadence/probe: falls back to last-step selection, no crash
+    state, _ = train(cfg, dataset=ds, max_steps=2, verbose=False)
+    assert int(state.step) == 2
