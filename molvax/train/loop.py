@@ -175,11 +175,11 @@ def _make_one_step(cfg: Config, optimizer):
     lockstep), so chunked and unchunked training are the same program by
     construction."""
     mcfg = cfg.model
-    # Resolved once at step-construction: when a preset leaves the knobs at
-    # 0.0 (all production presets do — the round-5 grid measured both as
-    # strict losers at the quality operating point, see
-    # docs/PERFORMANCE.md's design table), the traced program contains no
-    # scheduled-sampling/word-dropout ops at all.
+    # Resolved once at step-construction: when a config leaves the knobs
+    # at 0.0 (every preset except zinc250k_quality, whose ss=0.25 is the
+    # measured seed-robustness lever — docs/PERFORMANCE.md "basin
+    # lottery"; word dropout measured as a strict loser and no preset uses
+    # it), the traced program contains no ss/word-dropout ops at all.
     use_ss = cfg.train.scheduled_sampling > 0
     wd_static = cfg.train.word_dropout if cfg.train.word_dropout > 0 else None
     ema_decay = cfg.train.ema_decay
