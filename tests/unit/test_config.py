@@ -86,3 +86,25 @@ def test_model_config_validation():
 def test_config_hashable_for_jit():
     cfg = get_preset("chemvae_5k")
     assert hash(cfg.model) == hash(dataclasses.replace(cfg.model))
+
+
+def test_quality_preset_ships_the_robust_recipe():
+    """The round-5 re-centering contract: zinc250k_quality carries the
+    measured seed-robust recipe (ss=0.25 + round-trip probe + best-iterate
+    selection + collapse guard + per-layer kernels); no other preset turns
+    the ss/wd knobs on."""
+    from molvax.config import PRESETS, get_preset
+
+    q = get_preset("zinc250k_quality")
+    assert q.train.scheduled_sampling == 0.25
+    assert q.train.word_dropout == 0.0
+    assert q.train.eval_roundtrip_n > 0 and q.train.eval_every > 0
+    assert q.train.select_best
+    assert q.train.collapse_std_floor > 0
+    assert q.model.gru_kernel == "per_layer"
+    for name in PRESETS:
+        if name == "zinc250k_quality":
+            continue
+        p = get_preset(name)
+        assert p.train.scheduled_sampling == 0.0, name
+        assert p.train.word_dropout == 0.0, name
