@@ -19,7 +19,7 @@ sampling path).
         [--gru-kernel per_layer|auto|fused_stack] \
         [--ss 0.25] [--ss-warmup 5000] [--wd 0.1] [--latent 512] \
         [--grad-clip 1.0] [--lr-schedule cosine] [--kl cyclical|linear] \
-        [--ema 0.999] [--select-best] [--source synthetic]
+        [--ema 0.999] [--select-best] [--beam 5] [--source synthetic]
 
 ``--ss``/``--wd`` set TrainConfig.scheduled_sampling / word_dropout for the
 VERDICT r4 task-2 ablation (the knobs exist since round 1 but had never been
@@ -57,6 +57,7 @@ def run_one(
     kl_kind: str = "cyclical",
     ema: float = 0.0,
     select_best: bool = False,
+    beam: int = 0,
 ):
     """One 16k-step quality run. ``gru_kernel`` defaults to 'per_layer'
     to match the zinc250k_quality preset's pinned path: the round-4
@@ -158,6 +159,7 @@ def run_one(
         key=jax.random.key(7),
         n_prior=1000,
         train_dataset=train_ds if holdout else None,
+        beam=beam,
     )
     keep = {
         k: round(float(v), 4)
@@ -166,6 +168,8 @@ def run_one(
         in (
             "recon_char_acc_nonpad",
             "recon_exact",
+            "recon_beam_exact",
+            "recon_beam_char_acc_nonpad",
             "gen_valid",
             "gen_chem_valid",
             "agg_chem_valid",
@@ -250,6 +254,7 @@ def main(argv):
     kl_kind = argv[argv.index("--kl") + 1] if "--kl" in argv else "cyclical"
     ema = float(argv[argv.index("--ema") + 1]) if "--ema" in argv else 0.0
     select_best = "--select-best" in argv
+    beam = int(argv[argv.index("--beam") + 1]) if "--beam" in argv else 0
     if "--seeds" in argv:
         i = argv.index("--seeds") + 1
         seeds = []
@@ -284,6 +289,7 @@ def main(argv):
                 kl_kind=kl_kind,
                 ema=ema,
                 select_best=select_best,
+                beam=beam,
             )
             print(json.dumps(out), flush=True)
 
