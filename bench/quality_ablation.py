@@ -39,12 +39,11 @@ import sys
 import time
 
 
-def run_one(
+def build_quality_cfg(
     eps: float,
     steps: int,
     corpus: int,
     free_bits: float = 0.1,
-    holdout: bool = True,
     source: str = "synthetic",
     seed: int = 0,
     gru_kernel: str = "per_layer",
@@ -57,29 +56,17 @@ def run_one(
     kl_kind: str = "cyclical",
     ema: float = 0.0,
     select_best: bool = False,
-    beam: int = 0,
 ):
-    """One 16k-step quality run. ``gru_kernel`` defaults to 'per_layer'
-    to match the zinc250k_quality preset's pinned path: the round-4
-    seed re-ablation measured the fused stack flipping the eps=0.02
-    near-collapse point (same seed: 95.7% recon per-layer vs 21% stack;
-    stack seeds {0,1,2} -> {21, 78, 4}% — see the preset docstring).
-    Pass --gru-kernel auto/fused_stack to probe the stack path.
-    ``ss``/``ss_warmup``/``wd``: scheduled-sampling target probability (with
-    its linear warmup length) and word-dropout probability for the round-5
-    measure-or-delete ablation (VERDICT r4 next 2)."""
-    import jax
-
+    """THE quality-recipe config: single source for run_one and every other
+    round-5 probe (bench/ss_temp_probe.py) so the recipe cannot silently
+    drift between the harnesses that claim to measure it."""
     from molvax.config import zinc250k
-    from molvax.data import load_dataset
-    from molvax.train import train
-    from molvax.train.evaluate import evaluate
 
     cfg = zinc250k()
     model_kw = dict(eps_scale=eps, gru_kernel=gru_kernel)
     if latent_dim:
         model_kw["latent_dim"] = latent_dim
-    cfg = dataclasses.replace(
+    return dataclasses.replace(
         cfg,
         name=f"quality_eps{eps:g}",
         model=dataclasses.replace(cfg.model, **model_kw),
@@ -117,6 +104,61 @@ def run_one(
             select_best=select_best,
         ),
         data=dataclasses.replace(cfg.data, n_synthetic=corpus, source=source),
+    )
+
+
+def run_one(
+    eps: float,
+    steps: int,
+    corpus: int,
+    free_bits: float = 0.1,
+    holdout: bool = True,
+    source: str = "synthetic",
+    seed: int = 0,
+    gru_kernel: str = "per_layer",
+    ss: float = 0.0,
+    ss_warmup: int = 5000,
+    wd: float = 0.0,
+    latent_dim: int = 0,
+    grad_clip: float = 0.0,
+    lr_schedule: str = "constant",
+    kl_kind: str = "cyclical",
+    ema: float = 0.0,
+    select_best: bool = False,
+    beam: int = 0,
+):
+    """One 16k-step quality run. ``gru_kernel`` defaults to 'per_layer'
+    to match the zinc250k_quality preset's pinned path: the round-4
+    seed re-ablation measured the fused stack flipping the eps=0.02
+    near-collapse point (same seed: 95.7% recon per-layer vs 21% stack;
+    stack seeds {0,1,2} -> {21, 78, 4}% — see the preset docstring).
+    Pass --gru-kernel auto/fused_stack to probe the stack path.
+    ``ss``/``ss_warmup``/``wd``: scheduled-sampling target probability (with
+    its linear warmup length) and word-dropout probability for the round-5
+    measure-or-delete ablation (VERDICT r4 next 2)."""
+    import jax
+
+    from molvax.data import load_dataset
+    from molvax.train import train
+    from molvax.train.evaluate import evaluate
+
+    cfg = build_quality_cfg(
+        eps,
+        steps,
+        corpus,
+        free_bits=free_bits,
+        source=source,
+        seed=seed,
+        gru_kernel=gru_kernel,
+        ss=ss,
+        ss_warmup=ss_warmup,
+        wd=wd,
+        latent_dim=latent_dim,
+        grad_clip=grad_clip,
+        lr_schedule=lr_schedule,
+        kl_kind=kl_kind,
+        ema=ema,
+        select_best=select_best,
     )
     ds = load_dataset(
         cfg.data.source,

@@ -26,8 +26,7 @@ import time
 def main(argv):
     import jax
 
-    from bench.quality_ablation import run_one  # noqa: F401 (doc pointer)
-    from molvax.config import zinc250k
+    from bench.quality_ablation import build_quality_cfg
     from molvax.data import load_dataset
     from molvax.train import train
     from molvax.train.evaluate import (
@@ -58,7 +57,7 @@ def main(argv):
         int(argv[argv.index("--corpus") + 1]) if "--corpus" in argv else 250_000
     )
 
-    base = zinc250k()
+    base = build_quality_cfg(eps, steps, corpus, ss=ss)
     ds = load_dataset(
         base.data.source,
         max_len=base.data.max_len,
@@ -66,23 +65,13 @@ def main(argv):
         seed=base.data.seed,
     )
     train_ds, eval_ds = ds.split(0.05, base.data.seed)
+    # loop-invariant: one corpus decode, not one per seed (the round-3
+    # evaluate() finding, re-found here in round-5 review)
+    ref = novelty_reference(train_ds)
 
     for seed in seeds:
         cfg = dataclasses.replace(
-            base,
-            name=f"ss_temp_eps{eps:g}",
-            model=dataclasses.replace(
-                base.model, eps_scale=eps, gru_kernel="per_layer"
-            ),
-            train=dataclasses.replace(
-                base.train,
-                steps=steps,
-                seed=seed,
-                kl=dataclasses.replace(base.train.kl, free_bits=0.1),
-                log_every=2000,
-                scheduled_sampling=ss,
-            ),
-            data=dataclasses.replace(base.data, n_synthetic=corpus),
+            base, train=dataclasses.replace(base.train, seed=seed)
         )
         t0 = time.time()
         state, _ = train(cfg, dataset=train_ds, verbose=False)
@@ -98,7 +87,6 @@ def main(argv):
             "train_s": round(train_s, 1),
             **{k: round(float(v), 4) for k, v in rt.items()},
         }
-        ref = novelty_reference(train_ds)
         for t in temps:
             m = aggregate_generation_metrics(
                 state.params,

@@ -450,25 +450,56 @@ def train(
     # and saved under <checkpoint_dir>/best/, while the regular last-step
     # checkpoints keep serving preemption/resume.
     select_best = cfg.train.select_best
-    best = {"metric": -1.0, "state": None, "step": -1}
+    best = {"metric": -1.0, "params": None, "ema": None, "step": -1}
     if select_best and (
         cfg.train.eval_roundtrip_n <= 0
         or cfg.train.eval_every <= 0
+        or cfg.train.eval_batches <= 0
         or eval_dataset is None
         or len(eval_dataset) == 0
     ):
         print(
-            "[molvax] select_best needs eval_every>0, eval_roundtrip_n>0 "
-            "and a held-out split; falling back to last-step selection",
+            "[molvax] select_best needs eval_every>0, eval_batches>0, "
+            "eval_roundtrip_n>0 and a held-out split; falling back to "
+            "last-step selection",
             file=sys.stderr,
         )
         select_best = False
+    best_meta_path = None
+    if select_best and cfg.train.checkpoint_dir:
+        # Persist the winning probe value: a rerun/resume on this dir must
+        # not let a worse segment overwrite best/ (review finding round 5).
+        import json as _json
+        import os as _os
+
+        best_meta_path = _os.path.join(
+            cfg.train.checkpoint_dir, "best", "probe.json"
+        )
+        if _os.path.exists(best_meta_path):
+            with open(best_meta_path) as f:
+                prior = _json.load(f)
+            best["metric"] = float(prior.get("metric", -1.0))
+            best["step"] = int(prior.get("step", -1))
+            print(
+                f"[molvax] select_best: existing best/ has probe "
+                f"{best['metric']:.4f} at step {best['step']}; this run "
+                "only replaces it if beaten",
+                file=sys.stderr,
+            )
 
     def _consider_best(metric: float, st: TrainState, at_step: int):
         if metric > best["metric"]:
             best["metric"] = metric
-            # a device-side copy: `st` itself is donated to the next step
-            best["state"] = jax.tree.map(jnp.copy, st)
+            # device-side copies of the EVAL-relevant leaves only (params
+            # + ema): `st` itself is donated to the next step, and copying
+            # the Adam moments too would pin ~3-4x the parameter bytes in
+            # HBM for the rest of the run (review finding round 5)
+            best["params"] = jax.tree.map(jnp.copy, st.params)
+            best["ema"] = (
+                jax.tree.map(jnp.copy, st.ema_params)
+                if st.ema_params is not None
+                else None
+            )
             best["step"] = at_step
 
     guard_floor = cfg.train.collapse_std_floor
@@ -511,6 +542,7 @@ def train(
             guard_hot["warned"] = True
 
     history = []
+    last_probe = {"step": -1, "metric": -1.0}
     # Host-side step mirror: avoids a device sync per iteration (the device
     # `state.step` is only read at restore time).
     step_now = int(jax.device_get(state.step))
@@ -583,6 +615,8 @@ def train(
                         n=min(cfg.train.eval_roundtrip_n, len(eval_dataset)),
                     )
                     mean.update({f"eval_{k}": v for k, v in rt.items()})
+                    last_probe["step"] = step_now
+                    last_probe["metric"] = rt["recon_char_acc_nonpad"]
                     if select_best:
                         _consider_best(
                             rt["recon_char_acc_nonpad"], state, step_now
@@ -605,34 +639,76 @@ def train(
             ckpt_io.save(manager, step_now, state)
             manager.wait_until_finished()
         if select_best:
-            # the final iterate competes too (the last step need not land
-            # on the eval cadence)
-            from .evaluate import reconstruction_metrics
+            # the final iterate competes too — unless the cadence probe
+            # already measured this exact step (review finding round 5:
+            # recomputing the identical probe wastes a full decode pass)
+            if last_probe["step"] == step_now:
+                final_metric = last_probe["metric"]
+            else:
+                from .evaluate import reconstruction_metrics
 
-            rt = reconstruction_metrics(
-                ema_eval_state(state).params,
-                cfg,
-                eval_dataset,
-                jax.random.fold_in(state.base_key, 0x5EED),
-                n=min(cfg.train.eval_roundtrip_n, len(eval_dataset)),
-            )
-            _consider_best(rt["recon_char_acc_nonpad"], state, step_now)
-            if best["step"] != step_now:
+                rt = reconstruction_metrics(
+                    ema_eval_state(state).params,
+                    cfg,
+                    eval_dataset,
+                    jax.random.fold_in(state.base_key, 0x5EED),
+                    n=min(cfg.train.eval_roundtrip_n, len(eval_dataset)),
+                )
+                final_metric = rt["recon_char_acc_nonpad"]
+                _consider_best(final_metric, state, step_now)
+            if best["params"] is not None:
+                # this run produced the winner: swap it in and persist it
+                if best["step"] != step_now:
+                    print(
+                        f"[molvax] select_best: step {best['step']} probe "
+                        f"{best['metric']:.4f} beats final step {step_now} "
+                        f"({final_metric:.4f}); returning it",
+                        file=sys.stderr,
+                    )
+                state = TrainState(
+                    params=best["params"],
+                    # Adam moments are not part of the selection (best/ is
+                    # an inference artifact; resume uses the last-step
+                    # checkpoints above)
+                    opt_state=state.opt_state,
+                    step=jnp.asarray(best["step"], jnp.int32),
+                    base_key=state.base_key,
+                    ema_params=best["ema"],
+                )
+                if manager is not None:
+                    import json as _json
+                    import os
+
+                    best_mgr = ckpt_io.make_manager(
+                        os.path.join(cfg.train.checkpoint_dir, "best"),
+                        keep=1,
+                    )
+                    ckpt_io.save(best_mgr, best["step"], state)
+                    best_mgr.wait_until_finished()
+                    with open(best_meta_path, "w") as f:
+                        _json.dump(
+                            {"step": best["step"], "metric": best["metric"]},
+                            f,
+                        )
+            elif best["step"] >= 0:
                 print(
-                    f"[molvax] select_best: step {best['step']} probe "
-                    f"{best['metric']:.4f} beats final step {step_now} "
-                    f"({rt['recon_char_acc_nonpad']:.4f}); returning it",
+                    f"[molvax] select_best: existing best/ (probe "
+                    f"{best['metric']:.4f} at step {best['step']}) stands; "
+                    "this run did not beat it",
                     file=sys.stderr,
                 )
-            state = best["state"]
-            if manager is not None:
+                # honor the contract that train() returns the selected
+                # iterate: load the standing winner back from best/
                 import os
 
                 best_mgr = ckpt_io.make_manager(
                     os.path.join(cfg.train.checkpoint_dir, "best"), keep=1
                 )
-                ckpt_io.save(best_mgr, best["step"], state)
-                best_mgr.wait_until_finished()
+                restored_best = ckpt_io.restore_latest(
+                    best_mgr, init_state(cfg)
+                )
+                if restored_best is not None:
+                    state = restored_best
     finally:
         # always restore signal dispositions and flush the logger, even when
         # the loop raises (a wedged handler would make the process

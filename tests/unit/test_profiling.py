@@ -174,23 +174,29 @@ def test_select_best_returns_probe_argmax(tmp_path):
         data=DataConfig(max_len=32, test_fraction=0.25),
     )
     ds = synthetic_dataset(64, max_len=32, seed=0)
-    state, history = train(cfg, dataset=ds, max_steps=9, verbose=False)
+    # max_steps lands ON the eval cadence, so every candidate (including
+    # the final step) has a recorded probe and the argmax assertion below
+    # is unconditional (review finding round 5: a conditional assertion
+    # can silently assert nothing)
+    state, history = train(cfg, dataset=ds, max_steps=8, verbose=False)
     probes = {
         h["step"]: h["eval_recon_char_acc_nonpad"]
         for h in history
         if "eval_recon_char_acc_nonpad" in h
     }
-    assert probes  # cadence steps 4 and 8 fired
-    # the returned state is the argmax over {cadence probes} U {final step}
-    # => its probe metric must be >= every recorded cadence probe
+    assert sorted(probes) == [4, 8]
     import os
 
     assert os.path.isdir(os.path.join(str(tmp_path), "best"))
     best_step = int(state.step)
-    assert best_step <= 9
-    recorded = [s for s in probes if s == best_step]
-    if recorded:
-        assert probes[best_step] == max(probes.values())
+    assert best_step in probes
+    assert probes[best_step] == max(probes.values())
+    # the persisted winner metadata matches
+    import json
+
+    with open(os.path.join(str(tmp_path), "best", "probe.json")) as f:
+        meta = json.load(f)
+    assert meta["step"] == best_step
 
 
 def test_select_best_without_probe_warns_and_degrades():
@@ -210,3 +216,45 @@ def test_select_best_without_probe_warns_and_degrades():
     # no eval cadence/probe: falls back to last-step selection, no crash
     state, _ = train(cfg, dataset=ds, max_steps=2, verbose=False)
     assert int(state.step) == 2
+
+
+@pytest.mark.slow
+def test_select_best_rerun_does_not_demote(tmp_path):
+    """A rerun on the same checkpoint dir must not overwrite best/ with a
+    worse segment's winner (review finding round 5): probe.json persists
+    the winning metric and the final block only replaces it when beaten."""
+    import json
+    import os
+
+    from molvax.config import Config, DataConfig, ModelConfig, TrainConfig
+    from molvax.data import DEFAULT_CHARSET, synthetic_dataset
+    from molvax.train import train
+
+    def mk(max_steps):
+        cfg = Config(
+            model=ModelConfig(
+                max_len=32, charset_size=DEFAULT_CHARSET.size, latent_dim=8,
+                enc_hidden=12, gru_hidden=12, gru_layers=1,
+            ),
+            train=TrainConfig(
+                batch_size=8, log_every=100, eval_every=4, eval_batches=1,
+                eval_roundtrip_n=8, select_best=True,
+                checkpoint_dir=str(tmp_path), checkpoint_every=100,
+            ),
+            data=DataConfig(max_len=32, test_fraction=0.25),
+        )
+        ds = synthetic_dataset(64, max_len=32, seed=0)
+        return train(cfg, dataset=ds, max_steps=max_steps, verbose=False)
+
+    mk(8)
+    meta_path = os.path.join(str(tmp_path), "best", "probe.json")
+    with open(meta_path) as f:
+        first = json.load(f)
+    # rerun: resumes at step 8, trains 0 new steps — its only candidate is
+    # the final probe, which ties (same state) and cannot beat strictly
+    state2, _ = mk(8)
+    with open(meta_path) as f:
+        second = json.load(f)
+    assert second == first
+    # and the returned state is the standing winner, restored from best/
+    assert int(state2.step) == first["step"]
