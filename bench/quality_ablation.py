@@ -250,6 +250,8 @@ def run_one(
         keep["ema"] = ema
     if select_best:
         keep["select_best"] = True
+    if beam > 1:
+        keep["beam"] = beam
     keep["steps"] = steps
     if holdout:
         keep["holdout"] = True
@@ -297,6 +299,10 @@ def main(argv):
     ema = float(argv[argv.index("--ema") + 1]) if "--ema" in argv else 0.0
     select_best = "--select-best" in argv
     beam = int(argv[argv.index("--beam") + 1]) if "--beam" in argv else 0
+    if beam == 1:
+        # evaluate() gates beam metrics on beam > 1 (beam-1 IS greedy);
+        # silently emitting a row without recon_beam_* would be a no-op
+        raise SystemExit("--beam must be >= 2 (beam 1 is the greedy decode)")
     if "--seeds" in argv:
         i = argv.index("--seeds") + 1
         seeds = []

@@ -79,6 +79,12 @@ def main(argv):
         rt = reconstruction_metrics(
             state.params, cfg, eval_ds, jax.random.key(7)
         )
+        from molvax.latent.sample import fit_aggregate_posterior
+
+        # one fit per trained model; the temperature sweep below reuses it
+        agg_fit = fit_aggregate_posterior(
+            state.params, cfg.model, train_ds.codes
+        )
         row = {
             "seed": seed,
             "ss": ss,
@@ -96,6 +102,7 @@ def main(argv):
                 n=1000,
                 temperature=t,
                 train_set=ref,
+                fit=agg_fit,
             )
             row[f"T{t:g}"] = {
                 k: round(float(v), 4)

@@ -97,9 +97,14 @@ def _restore(cfg: Config, ckpt_dir: str, args=None):
     # A train.select_best run records its probe-selected iterate under
     # best/ — inference prefers it (resume keeps using the top-level
     # last-step checkpoints, so this only affects read-side entry points).
+    # Gate on the checkpoint's own config: config.json is rewritten by
+    # every training run on this dir, so a later run with select_best off
+    # (which stops maintaining best/) also stops it being served (review
+    # finding round 5: a stale best/ would otherwise shadow the final
+    # model forever).
     best_dir = os.path.join(ckpt_dir, "best")
     use_dir = ckpt_dir
-    if os.path.isdir(best_dir):
+    if os.path.isdir(best_dir) and cfg.train.select_best:
         use_dir = best_dir
         print(
             f"[molvax] using best-checkpoint selection dir {best_dir}",

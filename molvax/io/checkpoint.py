@@ -36,8 +36,16 @@ def _to_savable(state):
     return jax.tree.map(conv, state)
 
 
-def save(manager: ocp.CheckpointManager, step: int, state) -> None:
-    manager.save(step, args=ocp.args.StandardSave(_to_savable(state)))
+def save(
+    manager: ocp.CheckpointManager, step: int, state, force: bool = False
+) -> None:
+    """``force=True`` bypasses orbax's should_save gate (which silently
+    skips any step <= the directory's latest). Needed for best-iterate
+    saves: a fresh run's winner may have a SMALLER step number than a
+    stale best/ left by an earlier lineage (review finding round 5)."""
+    manager.save(
+        step, args=ocp.args.StandardSave(_to_savable(state)), force=force
+    )
 
 
 def restore_latest(manager: ocp.CheckpointManager, abstract_state) -> Optional[Any]:
@@ -67,6 +75,26 @@ def restore_latest(manager: ocp.CheckpointManager, abstract_state) -> Optional[A
             "(new params keep fresh init)",
             file=sys.stderr,
         )
+        # EMA newly enabled over a pre-EMA checkpoint: the graft left this
+        # process's RANDOM init in ema_params, and eval/inference prefer
+        # the EMA — seed it from the restored params instead (review
+        # finding round 5: a 0.999-decay average keeps 37% of the random
+        # init even 1000 steps later).
+        if (
+            isinstance(saved, dict)
+            and saved.get("ema_params") is None
+            and getattr(restored, "ema_params", None) is not None
+        ):
+            restored = restored._replace(
+                ema_params=jax.tree.map(
+                    lambda x: np.array(x, copy=True), restored.params
+                )
+            )
+            print(
+                "[molvax] ema_decay enabled over a pre-EMA checkpoint: "
+                "seeded ema_params from the restored params",
+                file=sys.stderr,
+            )
     # Re-wrap raw key data into typed PRNG keys at the treedef positions
     # where the original state had them.
     return _rewrap_keys(abstract_state, restored)

@@ -347,16 +347,25 @@ def aggregate_generation_metrics(
     n: int = 1000,
     temperature: float = 1.0,
     train_set: Optional[set] = None,
+    fit=None,
 ) -> Dict[str, float]:
     """generation_metrics, but sampling z from the fitted aggregate
     posterior N(mean, cov) instead of the prior (VERDICT r2 next 1): keys
-    ``agg_valid`` / ``agg_unique`` / ``agg_novelty`` / ``agg_mean_len``."""
+    ``agg_valid`` / ``agg_unique`` / ``agg_novelty`` / ``agg_mean_len``.
+
+    ``fit``: a precomputed ``(mean, chol)`` from fit_aggregate_posterior —
+    pass it when sweeping (e.g. temperatures) so the 20k-molecule encode +
+    covariance fit runs once, not once per call (review finding round 5)."""
     from ..latent.sample import fit_aggregate_posterior, sample_aggregate
 
     charset = dataset.charset
     if train_set is None:
         train_set = novelty_reference(dataset)
-    mean, chol = fit_aggregate_posterior(params, cfg.model, dataset.codes)
+    mean, chol = (
+        fit
+        if fit is not None
+        else fit_aggregate_posterior(params, cfg.model, dataset.codes)
+    )
     smiles = sample_aggregate(
         params,
         cfg.model,

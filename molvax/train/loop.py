@@ -543,6 +543,23 @@ def train(
 
     history = []
     last_probe = {"step": -1, "metric": -1.0}
+
+    def _roundtrip_probe(st: TrainState):
+        """The free-running round-trip probe — single definition so the
+        cadence and final-step call sites cannot drift (review finding
+        round 5). Key constant 0x7EED5EED is disjoint from the per-step
+        training keys fold_in(base_key, step) for any realistic budget
+        (the old 0x5EED collided at step 24301), matching eval_step's
+        0x7FFFFFFF convention."""
+        from .evaluate import reconstruction_metrics
+
+        return reconstruction_metrics(
+            ema_eval_state(st).params,
+            cfg,
+            eval_dataset,
+            jax.random.fold_in(st.base_key, 0x7EED5EED),
+            n=min(cfg.train.eval_roundtrip_n, len(eval_dataset)),
+        )
     # Host-side step mirror: avoids a device sync per iteration (the device
     # `state.step` is only read at restore time).
     step_now = int(jax.device_get(state.step))
@@ -605,15 +622,7 @@ def train(
                     # Free-running fidelity probe (config field doc): the
                     # quality failure mode is invisible to teacher-forced
                     # metrics, so measure the real thing at eval cadence.
-                    from .evaluate import reconstruction_metrics
-
-                    rt = reconstruction_metrics(
-                        ema_eval_state(state).params,
-                        cfg,
-                        eval_dataset,
-                        jax.random.fold_in(state.base_key, 0x5EED),
-                        n=min(cfg.train.eval_roundtrip_n, len(eval_dataset)),
-                    )
+                    rt = _roundtrip_probe(state)
                     mean.update({f"eval_{k}": v for k, v in rt.items()})
                     last_probe["step"] = step_now
                     last_probe["metric"] = rt["recon_char_acc_nonpad"]
@@ -645,15 +654,7 @@ def train(
             if last_probe["step"] == step_now:
                 final_metric = last_probe["metric"]
             else:
-                from .evaluate import reconstruction_metrics
-
-                rt = reconstruction_metrics(
-                    ema_eval_state(state).params,
-                    cfg,
-                    eval_dataset,
-                    jax.random.fold_in(state.base_key, 0x5EED),
-                    n=min(cfg.train.eval_roundtrip_n, len(eval_dataset)),
-                )
+                rt = _roundtrip_probe(state)
                 final_metric = rt["recon_char_acc_nonpad"]
                 _consider_best(final_metric, state, step_now)
             if best["params"] is not None:
@@ -683,7 +684,10 @@ def train(
                         os.path.join(cfg.train.checkpoint_dir, "best"),
                         keep=1,
                     )
-                    ckpt_io.save(best_mgr, best["step"], state)
+                    # force=True: orbax's should_save silently skips any
+                    # step <= a stale best/'s latest (review finding
+                    # round 5 — probe.json and weights would diverge)
+                    ckpt_io.save(best_mgr, best["step"], state, force=True)
                     best_mgr.wait_until_finished()
                     with open(best_meta_path, "w") as f:
                         _json.dump(
@@ -698,15 +702,29 @@ def train(
                     file=sys.stderr,
                 )
                 # honor the contract that train() returns the selected
-                # iterate: load the standing winner back from best/
+                # iterate: load the standing winner back from best/ — with
+                # a mesh-replicated template so the returned state's
+                # sharding matches every other path, and tolerating a
+                # stale/incompatible best/ (this sits at the very end of
+                # the budget; failing here would discard the whole run —
+                # review finding round 5)
                 import os
 
                 best_mgr = ckpt_io.make_manager(
                     os.path.join(cfg.train.checkpoint_dir, "best"), keep=1
                 )
-                restored_best = ckpt_io.restore_latest(
-                    best_mgr, init_state(cfg)
-                )
+                try:
+                    restored_best = ckpt_io.restore_latest(
+                        best_mgr, meshlib.replicate(mesh, init_state(cfg))
+                    )
+                except ValueError as e:
+                    print(
+                        f"[molvax] select_best: standing best/ is "
+                        f"incompatible with this config ({e}); returning "
+                        "this run's final state instead",
+                        file=sys.stderr,
+                    )
+                    restored_best = None
                 if restored_best is not None:
                     state = restored_best
     finally:

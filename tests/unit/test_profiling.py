@@ -258,3 +258,47 @@ def test_select_best_rerun_does_not_demote(tmp_path):
     assert second == first
     # and the returned state is the standing winner, restored from best/
     assert int(state2.step) == first["step"]
+
+
+@pytest.mark.slow
+def test_select_best_force_overwrites_stale_higher_step_best(tmp_path):
+    """A stale best/ whose orbax step EXCEEDS the new winner's step must
+    still be replaced when beaten (orbax's should_save silently skips
+    step <= latest; the save goes through force=True — review finding
+    round 5)."""
+    import json
+    import os
+
+    from molvax.config import Config, DataConfig, ModelConfig, TrainConfig
+    from molvax.data import DEFAULT_CHARSET, synthetic_dataset
+    from molvax.io import checkpoint as ckpt_io
+    from molvax.train import init_state, train
+
+    cfg = Config(
+        model=ModelConfig(
+            max_len=32, charset_size=DEFAULT_CHARSET.size, latent_dim=8,
+            enc_hidden=12, gru_hidden=12, gru_layers=1,
+        ),
+        train=TrainConfig(
+            batch_size=8, log_every=100, eval_every=4, eval_batches=1,
+            eval_roundtrip_n=8, select_best=True,
+            checkpoint_dir=str(tmp_path), checkpoint_every=100,
+        ),
+        data=DataConfig(max_len=32, test_fraction=0.25),
+    )
+    # plant a stale best/: orbax step 100 (higher than anything the run
+    # below reaches) but a probe metric of -0.5 that any run beats
+    stale_mgr = ckpt_io.make_manager(os.path.join(str(tmp_path), "best"))
+    ckpt_io.save(stale_mgr, 100, init_state(cfg))
+    stale_mgr.wait_until_finished()
+    with open(os.path.join(str(tmp_path), "best", "probe.json"), "w") as f:
+        json.dump({"step": 100, "metric": -0.5}, f)
+
+    ds = synthetic_dataset(64, max_len=32, seed=0)
+    state, _ = train(cfg, dataset=ds, max_steps=8, verbose=False)
+    # the new winner (step <= 8) replaced the stale step-100 artifact
+    with open(os.path.join(str(tmp_path), "best", "probe.json")) as f:
+        meta = json.load(f)
+    assert meta["step"] == int(state.step) <= 8
+    best_mgr = ckpt_io.make_manager(os.path.join(str(tmp_path), "best"))
+    assert best_mgr.latest_step() == meta["step"]
